@@ -1,0 +1,229 @@
+"""Typed configuration system.
+
+TPU-native replacement for the reference's module-global EasyDict config
+(`lib/config.py:5-6` with ~200 flags at `lib/config.py:15-370`, YAML merge
+`cfg_from_file` `lib/config.py:380`, list override `cfg_from_list`
+`lib/config.py:419`, dump `save_config_to_file` `lib/config.py:441`).
+
+Design differences (deliberate):
+  * frozen dataclasses instead of ambient global state — configs are passed
+    explicitly and are hashable, so they can be `jax.jit` static arguments;
+  * the same strict key + type validation the reference applies when merging
+    YAML (`lib/config.py:397-407`);
+  * grouped by subsystem rather than one flat namespace, with a flat
+    dotted-key override syntax covering both.
+
+The shipped `cfgs/kitti.yml` of the reference is reproduced as
+`SfMConfig.kitti()` so the headline recipe is importable without files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Tuple
+
+
+def _tuplify(x):
+    if isinstance(x, (list, tuple)):
+        return tuple(_tuplify(v) for v in x)
+    return x
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """Flow-estimator knobs (reference: `lib/config.py:178,216-370`)."""
+
+    estimator: str = "RAFT"  # RAFT | DICL | PWC  (ref FLOW_EST, default DICL)
+    # RAFT (models/RAFT/core/raft.py:30)
+    raft_iters_train: int = 12
+    raft_iters_eval: int = 24
+    raft_hidden_dim: int = 128
+    raft_context_dim: int = 128
+    raft_corr_levels: int = 4
+    raft_corr_radius: int = 4
+    # DICL (models/DICL_shallow.py; cfgs/kitti.yml:54-76)
+    dicl_search_range: Tuple[int, ...] = (3, 3, 3, 3, 3)  # ref SEATCH_RANGE (sic)
+    dicl_ctf: bool = True                 # coarse-to-fine warping, ref CTF
+    dicl_ctf_context: bool = True         # per-level context nets, ref CTF_CONTEXT
+    dicl_smooth_cost: bool = True         # learned 1x1 cost smoothing, ref SMOOTH_COST
+    dicl_sup_raw_flow: bool = True        # supervise pre-context flow, ref SUP_RAW_FLOW
+    dicl_scale_context: Tuple[float, ...] = (0.03125, 0.0625, 0.125, 0.25, 0.5)
+    dicl_flow_reg_by_max: bool = True     # soft-argmax window around argmax
+
+
+@dataclass(frozen=True)
+class DepthConfig:
+    """Plane-sweep depth knobs (reference: `lib/config.py:24-100,181`)."""
+
+    estimator: str = "PSNET"  # PSNET | PANET | REGNET | REG2D | DISPNET | CVP
+    nlabel: int = 64          # depth planes; 128 for the KITTI recipe (README.md:52)
+    min_depth: float = 1.0    # ref MIN_DEPTH (cfgs/kitti.yml)
+    psnet_context: bool = True        # 2D context refinement, ref PSNET_CONTEXT
+    psnet_dep_context: bool = True    # depth-domain context head, ref PSNET_DEP_CONTEXT
+    context_bn: bool = False          # BN in context convs, ref CONTEXT_BN
+    predict_by_depth: bool = False    # regress depth rather than inverse depth
+    # pose-scale sampling (PANet/REGNet/DISPNET; ref lib/config.py:184-188)
+    scale_min: float = 0.5
+    scale_max: float = 1.5
+    scale_step: float = 0.1
+
+
+@dataclass(frozen=True)
+class PoseConfig:
+    """Pose-estimation knobs (reference: `lib/config.py:51-55,198-214`)."""
+
+    estimator: str = "RANSAC"  # RANSAC | POSENET | GT
+    posenet_type: str = "plain"  # plain | res (models/PoseNet.py)
+    # RANSAC (essential_matrix.cu:121-123 launches 8x64=512 workers x ransac_iter
+    # rounds; we express the same budget as one flat hypothesis axis).
+    num_hypotheses: int = 512
+    ransac_iter: int = 5               # ref cfg.ransac_iter (kitti.yml)
+    ransac_threshold: float = 1e-4     # Sampson inlier threshold (lib/config.py:54)
+    min_matches: int = 20              # lib/config.py:55
+    num_correspondences: int = 1024    # on-device flow-subsample count (replaces SIFT)
+    corr_margin: int = 10              # image-border margin (models/SFMnet.py:183)
+    polish_iters: int = 10             # IRLS robust polish rounds (polish_E.cu:1470)
+    polish_huber_delta: float = 1e-3   # ref SFMnet delta=0.001 (models/SFMnet.py:36)
+    use_polish: bool = True
+    gt_pose_normalized: bool = False   # ref GT_POSE_NORMALIZED
+    pred_pose_gt_scale: bool = False   # oracle: rescale trans to GT norm
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + augmentation knobs (reference: `lib/config.py:15-45,190-196`)."""
+
+    dataset: str = "kitti_raw"       # kitti_raw | kitti_vo
+    train_size: Tuple[int, int] = (256, 768)   # cfgs/kitti.yml TRAIN_SIZE
+    val_size: Tuple[int, int] = (370, 1224)    # lib/config.py:25
+    skip: int = 1                    # frame-pair offset, ref SKIP
+    zoom_input: bool = True          # random zoom 1.0-1.15 (flow_transforms.py:89-98)
+    flip_aug: bool = True            # ref FLIP_AUG
+    random_fw_bw: bool = True        # random forward/backward pair flip
+    random_offset: bool = True       # random -1/-2 pair offset
+    kitti_697: bool = True           # Eigen 697-image split (KITTI_loader.py:283-301)
+    eigen_sfm: bool = False
+    pad_multiple: int = 128          # pad H,W to /128 (main.py:315-338)
+    workers: int = 8
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + loss knobs (reference: `main.py:66-115,245,350-422`)."""
+
+    batch_size: int = 32
+    lr: float = 5e-4
+    epochs: int = 12
+    milestones: Tuple[int, ...] = (3, 8)   # cfgs/kitti.yml MILESTONES
+    lr_decay: float = 0.5                  # MultiStepLR gamma (main.py:245)
+    beta1: float = 0.9
+    beta2: float = 0.999
+    fix_flownet: bool = True               # freeze flow net (README.md:52)
+    fix_depthnet: bool = False
+    mixed_prec: bool = True                # bf16 compute policy (ref MIXED_PREC)
+    depth_init_weight: float = 0.7         # loss weight on depth_init (main.py:387-389)
+    rescale_depth: bool = True             # GT-scale rescaling path (main.py:357-384)
+    min_train_scale: float = 0.2           # cfgs/kitti.yml
+    max_train_scale: float = 2.0
+    norm_target: float = 0.6               # trans-norm target (cfgs/kitti.yml)
+    pose_rot_weight: float = 20.0          # PoseNet rot-loss x20 (main.py:396-408)
+    seed: int = 0
+    print_freq: int = 20
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (no reference counterpart; SURVEY.md §2.7)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"   # shards RANSAC hypotheses / depth planes
+    data_parallel: int = -1     # -1: all devices on the data axis
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class SfMConfig:
+    """Top-level config. `tag` names the run (ref TAG, main.py:128-130)."""
+
+    tag: str = "default"
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    depth: DepthConfig = field(default_factory=DepthConfig)
+    pose: PoseConfig = field(default_factory=PoseConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    use_gt_pose: bool = False        # ref GT_POSE
+    pred_pose_online: bool = True    # ref PRED_POSE_ONLINE
+    record_pose: bool = False        # early-return pose path (models/SFMnet.py:157-158)
+
+    @staticmethod
+    def kitti(nlabel: int = 128) -> "SfMConfig":
+        """The shipped KITTI recipe (`cfgs/kitti.yml`, README.md:50-61)."""
+        return SfMConfig(
+            tag="kitti",
+            depth=replace(DepthConfig(), nlabel=nlabel, psnet_dep_context=True),
+            train=replace(TrainConfig(), mixed_prec=True, rescale_depth=True),
+        )
+
+    def override(self, **dotted: Any) -> "SfMConfig":
+        """Override with dotted keys, e.g. cfg.override(**{"pose.ransac_iter": 3}).
+
+        Replaces `cfg_from_list` (`lib/config.py:419`) with the same strict
+        unknown-key / type-mismatch errors (`lib/config.py:397-407`).
+        """
+        cfg = self
+        for key, value in dotted.items():
+            cfg = _set_dotted(cfg, key.split("."), value)
+        return cfg
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _set_dotted(obj, parts, value):
+    name = parts[0]
+    valid = {f.name: f for f in fields(obj)}
+    if name not in valid:
+        raise KeyError(f"unknown config key {name!r} on {type(obj).__name__}")
+    current = getattr(obj, name)
+    if len(parts) > 1:
+        return replace(obj, **{name: _set_dotted(current, parts[1:], value)})
+    value = _tuplify(value)
+    if current is not None and value is not None:
+        if isinstance(current, bool) != isinstance(value, bool):
+            raise TypeError(f"type mismatch for {name}: {type(current)} vs {type(value)}")
+        if isinstance(current, (int, float)) and isinstance(value, (int, float)):
+            value = type(current)(value)
+        elif type(current) is not type(value):
+            raise TypeError(f"type mismatch for {name}: {type(current)} vs {type(value)}")
+    return replace(obj, **{name: value})
+
+
+def config_from_yaml(path: str, base: SfMConfig | None = None) -> SfMConfig:
+    """Load dotted-key YAML overrides onto a base config (ref `cfg_from_file`)."""
+    import yaml
+
+    with open(path) as f:
+        overrides = yaml.safe_load(f) or {}
+    cfg = base or SfMConfig()
+    flat = {}
+
+    def _flatten(prefix, d):
+        for k, v in d.items():
+            kk = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                _flatten(kk, v)
+            else:
+                flat[kk] = v
+
+    _flatten("", overrides)
+    return cfg.override(**flat)
+
+
+def save_config(cfg: SfMConfig, path: str) -> None:
+    """Dump the full config for the run log (ref `save_config_to_file`)."""
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)

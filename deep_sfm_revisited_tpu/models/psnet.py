@@ -1,0 +1,225 @@
+"""PSNet: plane-sweep stereo depth estimation.
+
+TPU-native rebuild of `models/PSNet.py` (DPSNet-derived; `PSNet` `:41`,
+forward `:131-227`):
+
+  * SPP feature extraction at 1/4 resolution (submodules.SPPFeatureExtractor
+    ≙ `models/submodule.py:108-184`);
+  * `nlabel` fronto-parallel inverse-depth planes
+    depth_i = min_depth * nlabel / (i+1) (`models/PSNet.py:149-153`);
+  * cost volume: the reference python-loops over planes calling
+    `inverse_warp` per plane and writing into a zero tensor
+    (`models/PSNet.py:146-157`); here the whole (B, D, H/4, W/4, 64)
+    volume is one broadcasted projection + one batched gather
+    (`ops.camera.plane_sweep_warp`) — no serial plane loop;
+  * 3D-conv hourglass `dres0-4` + `classify` (`models/PSNet.py:79-102,
+    160-165`), NDHWC 3D convolutions;
+  * per-plane 2D context refinement expressed as (1, 3, 3) 3D convs with
+    dilation so all D planes share the 2D weights in one conv call
+    (`models/PSNet.py:175-190`);
+  * trilinear upsample + softmax + soft-argmax regression
+    (`models/PSNet.py:194-216`);
+  * depth-domain context head `PSNET_DEP_CONTEXT` (`models/PSNet.py:53-61,
+    218-222`).
+
+Returns (depth_init, depth): with dep_context on, (pre-context, refined)
+as the reference returns `(depth, depth_out)` (`models/PSNet.py:221-222`);
+otherwise `(depth_init, depth)` (`:227`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deep_sfm_revisited_tpu.config import DepthConfig
+from deep_sfm_revisited_tpu.models.submodules import (
+    ConvBN3D,
+    SPPFeatureExtractor,
+    resize_bilinear,
+    soft_argmax_depth,
+    soft_argmax_disparity,
+)
+from deep_sfm_revisited_tpu.ops.camera import plane_sweep_warp
+
+Dtype = Any
+
+
+class Hourglass3D(nn.Module):
+    """dres0..dres4 residual 3D stack + classify head (PSNet.py:79-102)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cost, train: bool = False):
+        d = self.dtype
+        c0 = nn.relu(ConvBN3D(32, dtype=d)(cost, train))
+        c0 = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
+        for _ in range(4):  # dres1..dres4, each a 2-conv residual block
+            r = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
+            r = ConvBN3D(32, dtype=d)(r, train)
+            c0 = c0 + r
+        out = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
+        out = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=d)(out)
+        return out  # (B, D, H, W, 1)
+
+
+class ContextNet(nn.Module):
+    """Dilated 2D context stack applied across all planes (PSNet.py:64-72).
+
+    Kernels are (1, k, k) so each depth plane is refined independently with
+    shared weights — one conv call instead of the reference's python loop
+    over D (`models/PSNet.py:179-190`).
+    """
+
+    out_features: int = 1
+    use_bn: bool = False  # ref CONTEXT_BN, default False (lib/config.py:158)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        plan = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]
+        for feats, dil in plan:
+            x = nn.Conv(
+                feats, (1, 3, 3),
+                kernel_dilation=(1, dil, dil),
+                padding=((0, 0), (dil, dil), (dil, dil)),
+                use_bias=not self.use_bn,
+                dtype=d,
+            )(x)
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=d)(x)
+            x = nn.relu(x)
+        return nn.Conv(self.out_features, (1, 3, 3),
+                       padding=((0, 0), (1, 1), (1, 1)), dtype=d)(x)
+
+
+class DepthContextNet(nn.Module):
+    """Depth-domain refinement head (ref `dep_convs`, PSNet.py:55-61). 2D."""
+
+    use_bn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        plan = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]
+        for feats, dil in plan:
+            x = nn.Conv(feats, (3, 3), kernel_dilation=(dil, dil),
+                        padding=dil, use_bias=not self.use_bn, dtype=d)(x)
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=d)(x)
+            x = nn.relu(x)
+        return nn.Conv(1, (3, 3), padding=1, dtype=d)(x)
+
+
+class PSNet(nn.Module):
+    """Plane-sweep depth network. Inputs NHWC, [-1, 1]-normalized images."""
+
+    cfg: DepthConfig
+    norm_target: float = 0.0  # >0: rescale pose translation (RESCALE_DEPTH)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        ref: jnp.ndarray,        # (B, H, W, 3)
+        targets: jnp.ndarray,    # (B, T, H, W, 3) — T target views
+        pose: jnp.ndarray,       # (B, T, 3, 4) ref->target transforms
+        K: jnp.ndarray,          # (B, 3, 3)
+        K_inv: jnp.ndarray,      # (B, 3, 3)
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        d = self.dtype
+        B, H, W, _ = ref.shape
+        nlabel = cfg.nlabel
+        min_depth = cfg.min_depth
+
+        # 1/4-resolution intrinsics (ref PSNet.py:133-136)
+        scale = jnp.asarray([0.25, 0.25, 1.0], jnp.float32)
+        K4 = K * scale[None, :, None]
+        K4_inv = jnp.linalg.inv(K4)
+
+        pose = pose.astype(jnp.float32)
+        if self.norm_target > 0:
+            # normalized-translation poses rescaled to NORM_TARGET metres
+            # (ref PSNet.py:139-140 with cfg.RESCALE_DEPTH)
+            pose = pose.at[..., :3, 3].multiply(self.norm_target)
+
+        feat_net = SPPFeatureExtractor(dtype=d)
+        ref_feat = feat_net(ref, train)  # (B, H/4, W/4, 32)
+        h4, w4 = ref_feat.shape[1], ref_feat.shape[2]
+
+        # plane depths: min_depth * nlabel / (i+1) (ref PSNet.py:149-153)
+        labels = jnp.arange(1, nlabel + 1, dtype=jnp.float32)
+        plane_depths = min_depth * nlabel / labels  # (D,), far -> near
+
+        hourglass = Hourglass3D(dtype=d)
+        costs = None
+        T = targets.shape[1]
+        for j in range(T):
+            tgt_feat = feat_net(targets[:, j], train)
+            warped = plane_sweep_warp(
+                tgt_feat.astype(jnp.float32), plane_depths, pose[:, j],
+                K4, K4_inv,
+            )  # (B, D, H/4, W/4, 32)
+            refb = jnp.broadcast_to(
+                ref_feat[:, None].astype(jnp.float32), warped.shape
+            )
+            cost = jnp.concatenate([refb, warped], axis=-1).astype(d)
+            c = hourglass(cost, train)  # (B, D, H/4, W/4, 1)
+            costs = c if costs is None else costs + c
+        costs = costs / T
+
+        # per-plane 2D context refinement (ref PSNET_CONTEXT, PSNet.py:175-190)
+        if cfg.psnet_context:
+            ctx_in = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        ref_feat[:, None], (B, nlabel, h4, w4, ref_feat.shape[-1])
+                    ),
+                    costs,
+                ],
+                axis=-1,
+            )
+            costss = ContextNet(1, cfg.context_bn, dtype=d)(ctx_in, train) + costs
+        else:
+            costss = costs
+
+        def regress(vol):
+            # trilinear upsample to (nlabel, H, W) + softmax + soft-argmax
+            # (ref PSNet.py:194-216). D is unchanged so this is bilinear
+            # over H, W with shared plane weights.
+            v = vol[..., 0].astype(jnp.float32)  # (B, D, h4, w4)
+            v = v.reshape(B * nlabel, h4, w4, 1)
+            v = resize_bilinear(v, (H, W)).reshape(B, nlabel, H, W)
+            prob = jax.nn.softmax(v, axis=1)
+            if cfg.predict_by_depth:
+                return soft_argmax_depth(prob, nlabel, min_depth)
+            disp = soft_argmax_disparity(prob, nlabel)
+            return min_depth * nlabel / (disp + 1e-16)
+
+        depth_init = regress(costs)   # (B, H, W)
+        depth = regress(costss)
+
+        if cfg.psnet_dep_context:
+            up_feat = resize_bilinear(ref_feat, (H, W))
+            dep_in = jnp.concatenate(
+                [
+                    jax.lax.stop_gradient(depth)[..., None].astype(d),
+                    up_feat,
+                    ref.astype(d),
+                ],
+                axis=-1,
+            )  # 1 + 32 + 3 = 36 ch (ref PSNet.py:218-220)
+            depth_out = DepthContextNet(cfg.context_bn, dtype=d)(dep_in, train)
+            depth_out = depth_out[..., 0].astype(jnp.float32) + depth
+            return depth, depth_out
+        return depth_init, depth

@@ -1,0 +1,278 @@
+"""RAFT optical flow (recurrent all-pairs field transforms).
+
+TPU-native rebuild of `models/RAFT/core/` (`raft.py:30` RAFT, encoders
+`extractor.py:118`, correlation pyramid `corr.py:12-60`, ConvGRU update
+block `update.py:115`, convex upsampling `raft.py:66-77`):
+
+  * the all-pairs correlation volume is one batched matmul over 1/8-res
+    features (MXU-native; ≙ `corr.py:19-27`), pooled into a 4-level
+    pyramid;
+  * per-iteration correlation lookup is a batched bilinear gather of a
+    (2r+1)^2 window around the current correspondence at every level
+    (≙ `corr.py:32-53`), implemented with `ops.camera.bilinear_sample`
+    over a folded (B*H*W) batch axis;
+  * the GRU recurrence runs under `lax.scan` with stacked per-iteration
+    flow predictions for supervision (≙ `raft.py:131-148`);
+  * convex upsampling combines 3x3 neighbors with a learned 8x8x9 softmax
+    mask (≙ `raft.py:66-77`).
+
+Returns (flow_up, None): RAFT has no entropy-confidence output, matching
+the reference contract that SFMnet tolerates (`models/SFMnet.py:120-123`,
+`raft.py:150`).
+
+Layout NHWC; images in [-1, 1]. (The reference flips channels to BGR for
+checkpoint compatibility, `raft.py:93-95`; irrelevant for from-scratch
+training, so not reproduced.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deep_sfm_revisited_tpu.config import FlowConfig
+from deep_sfm_revisited_tpu.ops.camera import bilinear_sample
+
+Dtype = Any
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+    norm: str = "instance"  # instance | batch | none
+    dtype: Dtype = jnp.float32
+
+    def _norm(self, x, train):
+        if self.norm == "instance":
+            return nn.GroupNorm(num_groups=x.shape[-1], dtype=self.dtype)(x)
+        if self.norm == "batch":
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                dtype=self.dtype)(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    padding=1, dtype=d)(x)
+        y = nn.relu(self._norm(y, train))
+        y = nn.Conv(self.features, (3, 3), padding=1, dtype=d)(y)
+        y = nn.relu(self._norm(y, train))
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
+                        dtype=d)(x)
+            x = self._norm(x, train)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """1/8-resolution encoder (≙ `extractor.py:118`, BasicEncoder)."""
+
+    out_features: int = 256
+    norm: str = "instance"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=d)(x)
+        if self.norm == "instance":
+            x = nn.GroupNorm(num_groups=64, dtype=d)(x)
+        elif self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=d)(x)
+        x = nn.relu(x)
+        for feats, stride in ((64, 1), (64, 1), (96, 2), (96, 1),
+                              (128, 2), (128, 1)):
+            x = ResBlock(feats, stride, self.norm, d)(x, train)
+        return nn.Conv(self.out_features, (1, 1), dtype=d)(x)
+
+
+def correlation_pyramid(f1: jnp.ndarray, f2: jnp.ndarray, levels: int):
+    """All-pairs correlation + average pyramid (≙ `corr.py:12-60`).
+
+    f1, f2 (B, H, W, C) -> list of (B*H*W, H/2^i, W/2^i, 1).
+    """
+    B, H, W, C = f1.shape
+    a = f1.reshape(B, H * W, C)
+    b = f2.reshape(B, H * W, C)
+    corr = jnp.einsum("bnc,bmc->bnm", a, b) / jnp.sqrt(jnp.asarray(C, f1.dtype))
+    corr = corr.reshape(B * H * W, H, W, 1)
+    pyramid = [corr]
+    for _ in range(levels - 1):
+        corr = nn.avg_pool(corr, (2, 2), strides=(2, 2))
+        pyramid.append(corr)
+    return pyramid
+
+
+def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
+    """Sample a (2r+1)^2 window at each level (≙ `corr.py:32-53`).
+
+    coords (B, H, W, 2) current correspondences at 1/8 res. Returns
+    (B, H, W, levels*(2r+1)^2).
+    """
+    B, H, W, _ = coords.shape
+    r = radius
+    dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    delta = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), axis=-1)  # (2r+1,2r+1,2)
+    out = []
+    flat = coords.reshape(B * H * W, 1, 1, 2)
+    for i, corr in enumerate(pyramid):
+        c = flat / (2.0 ** i) + delta[None]
+        win = bilinear_sample(corr, c)  # (BHW, 2r+1, 2r+1, 1)
+        out.append(win.reshape(B, H, W, -1))
+    return jnp.concatenate(out, axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    """Separable (1x5 then 5x1) ConvGRU (≙ `update.py:65-112`)."""
+
+    hidden: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        d = self.dtype
+        for ksize in ((1, 5), (5, 1)):
+            pad = tuple((k // 2, k // 2) for k in ksize)
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, dtype=d)(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, dtype=d)(hx))
+            q = jnp.tanh(
+                nn.Conv(self.hidden, ksize, padding=pad, dtype=d)(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1 - z) * h + z * q
+        return h
+
+
+class MotionEncoder(nn.Module):
+    """Correlation+flow -> motion features (≙ `update.py:31-52`)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        d = self.dtype
+        c = nn.relu(nn.Conv(256, (1, 1), dtype=d)(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=d)(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=d)(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=d)(f))
+        out = nn.relu(
+            nn.Conv(126, (3, 3), padding=1, dtype=d)(
+                jnp.concatenate([c, f], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)  # 128 ch
+
+
+class UpdateBlock(nn.Module):
+    """GRU update + flow head + upsample mask head (≙ `update.py:115`)."""
+
+    hidden: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        d = self.dtype
+        motion = MotionEncoder(dtype=d)(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden, d)(net, x)
+        dflow = nn.Conv(256, (3, 3), padding=1, dtype=d)(net)
+        dflow = nn.Conv(2, (3, 3), padding=1, dtype=d)(nn.relu(dflow))
+        mask = nn.Conv(256, (3, 3), padding=1, dtype=d)(net)
+        mask = nn.Conv(64 * 9, (1, 1), dtype=d)(nn.relu(mask)) * 0.25
+        return net, mask, dflow
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """8x learned convex upsampling (≙ `raft.py:66-77`).
+
+    flow (B, h, w, 2); mask (B, h, w, 576). Returns (B, 8h, 8w, 2).
+    """
+    B, h, w, _ = flow.shape
+    mask = mask.reshape(B, h, w, 8, 8, 9)
+    mask = jax.nn.softmax(mask, axis=-1)
+    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 3x3 neighborhood stack (unfold): (B, h, w, 9, 2)
+    patches = jnp.stack(
+        [
+            fp[:, dy : dy + h, dx : dx + w]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-2,
+    )
+    up = jnp.einsum("bhwuvn,bhwnc->bhwuvc", mask, patches)  # (B,h,w,8,8,2)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
+
+
+class RAFT(nn.Module):
+    """RAFT flow estimator. Input: ref+target stacked (B, H, W, 6) in [-1,1].
+
+    Returns (flow_predictions, conf): flow_predictions is the final
+    (B, H, W, 2) flow at eval, or the (iters, B, H, W, 2) stack when
+    `all_iters=True` for the multi-iteration training loss
+    (≙ `raft.py:84-150`); conf is None (see module docstring).
+    """
+
+    cfg: FlowConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pair: jnp.ndarray, train: bool = False,
+                 all_iters: bool = False):
+        cfg = self.cfg
+        d = self.dtype
+        ref, tgt = pair[..., :3].astype(d), pair[..., 3:].astype(d)
+        B, H, W, _ = ref.shape
+        h, w = H // 8, W // 8
+
+        fmaps = BasicEncoder(256, "instance", d, name="fnet")(
+            jnp.concatenate([ref, tgt], axis=0), train
+        )
+        f1, f2 = fmaps[:B], fmaps[B:]
+        pyramid = correlation_pyramid(
+            f1.astype(jnp.float32), f2.astype(jnp.float32),
+            cfg.raft_corr_levels,
+        )
+
+        cmap = BasicEncoder(cfg.raft_hidden_dim + cfg.raft_context_dim,
+                            "batch", d, name="cnet")(ref, train)
+        net = jnp.tanh(cmap[..., : cfg.raft_hidden_dim])
+        inp = nn.relu(cmap[..., cfg.raft_hidden_dim :])
+
+        update = UpdateBlock(cfg.raft_hidden_dim, d)
+
+        gy, gx = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        coords0 = jnp.broadcast_to(
+            jnp.stack([gx, gy], axis=-1)[None], (B, h, w, 2)
+        )
+
+        iters = cfg.raft_iters_train if train else cfg.raft_iters_eval
+
+        coords1 = coords0
+        flows = []
+        for _ in range(iters):
+            corr = lookup_correlation(
+                pyramid, coords1, cfg.raft_corr_radius
+            ).astype(d)
+            flow = (coords1 - coords0).astype(d)
+            net, mask, dflow = update(net, inp, corr, flow)
+            coords1 = coords1 + dflow.astype(jnp.float32)
+            flow_up = convex_upsample(
+                (coords1 - coords0), mask.astype(jnp.float32)
+            )
+            flows.append(flow_up)
+
+        if all_iters:
+            return jnp.stack(flows, axis=0), None
+        return flows[-1], None

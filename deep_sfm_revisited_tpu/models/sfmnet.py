@@ -1,0 +1,174 @@
+"""SFMNet: the end-to-end two-view SfM composite.
+
+TPU-native rebuild of `models/SFMnet.py` (`SFMnet` `:32`, forward `:95`,
+`pose_by_ransac` `:176`): flow estimation -> correspondence subsampling ->
+five-point RANSAC pose (or GT pose / PoseNet regression) -> plane-sweep
+depth.
+
+Key structural change (SURVEY.md §3.1): the reference's pose path runs a
+*serial python loop over batch items*, each doing GPU->CPU transfers,
+OpenCV SIFT/SURF detection, FLANN matching, and a CUDA RANSAC call
+(`models/SFMnet.py:192-274`). Here the whole batch stays on device:
+correspondences are subsampled from dense flow on a jittered grid (the
+reference's own fallback path, `models/SFMnet.py:239-241`, promoted to the
+primary path) and the batched RANSAC is one vmapped call. Pose outputs are
+`stop_gradient`-ed exactly as the reference detaches E/P
+(`models/SFMnet.py:272`).
+
+The RANSAC runs in float64 inside the surrounding float32/bfloat16 jit,
+mirroring the reference's `autocast(enabled=False)` + `.double()` region
+(`models/SFMnet.py:265-270`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deep_sfm_revisited_tpu.config import SfMConfig
+from deep_sfm_revisited_tpu.models.psnet import PSNet
+from deep_sfm_revisited_tpu.models.raft import RAFT
+from deep_sfm_revisited_tpu.ops.essential import ransac_pose
+from deep_sfm_revisited_tpu.ops.flow_ops import sample_correspondences
+
+Dtype = Any
+
+
+class SFMNet(nn.Module):
+    """Composite model. Images NHWC in [-1, 1]; intrinsics (B, 3, 3)."""
+
+    cfg: SfMConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        if cfg.flow.estimator == "RAFT":
+            self.flow_net = RAFT(cfg.flow, dtype=self.dtype)
+        elif cfg.flow.estimator == "DICL":
+            from deep_sfm_revisited_tpu.models.dicl import DICLFlow
+
+            self.flow_net = DICLFlow(cfg.flow, dtype=self.dtype)
+        else:
+            raise NotImplementedError(cfg.flow.estimator)
+
+        if cfg.depth.estimator == "PSNET":
+            norm_target = (
+                cfg.train.norm_target if cfg.train.rescale_depth else 0.0
+            )
+            self.depth_net = PSNet(
+                cfg.depth, norm_target=norm_target, dtype=self.dtype
+            )
+        else:
+            raise NotImplementedError(cfg.depth.estimator)
+
+        if cfg.pose.estimator == "POSENET":
+            from deep_sfm_revisited_tpu.models.posenet import PlainPose
+
+            self.pose_net = PlainPose(dtype=self.dtype)
+
+    def __call__(
+        self,
+        ref: jnp.ndarray,            # (B, H, W, 3)
+        target: jnp.ndarray,         # (B, H, W, 3)
+        intrinsics: jnp.ndarray,     # (B, 3, 3)
+        pose_gt: Optional[jnp.ndarray] = None,   # (B, 3, 4)
+        use_gt_pose: bool = False,
+        train: bool = False,
+        key: Optional[jax.Array] = None,
+    ):
+        """Returns dict(flow, flow_all, pose, depth_init, depth, inliers).
+
+        `pose` is the ref->target transform (B, 3, 4) with unit (or
+        NORM_TARGET-scaled, inside PSNet) translation. Matches the
+        reference forward contract (`models/SFMnet.py:95-174`).
+        """
+        cfg = self.cfg
+        K = intrinsics.astype(jnp.float32)
+        K_inv = jnp.linalg.inv(K)
+
+        flow_all = None
+        inliers = None
+        if use_gt_pose or not cfg.pred_pose_online:
+            # oracle / pre-saved pose path (models/SFMnet.py:139-155)
+            assert pose_gt is not None
+            pose = pose_gt.astype(jnp.float32)
+            if cfg.pose.gt_pose_normalized:
+                scale = jnp.linalg.norm(pose[:, :3, 3], axis=-1)
+                pose = pose.at[:, :3, 3].divide(scale[:, None])
+            flow = jnp.zeros(ref.shape[:3] + (2,), jnp.float32)
+        else:
+            pair = jnp.concatenate([ref, target], axis=-1)
+            if train:
+                flow_all, _ = self.flow_net(pair, train=True, all_iters=True)
+                flow = flow_all[-1]
+            else:
+                flow, _ = self.flow_net(pair, train=False)
+            flow = flow.astype(jnp.float32)
+
+            if cfg.pose.estimator == "RANSAC":
+                pose, inliers = self._pose_by_ransac(flow, K_inv, key)
+            elif cfg.pose.estimator == "POSENET":
+                rt = self.pose_net(flow, ref, target)
+                from deep_sfm_revisited_tpu.ops.rotations import rt_to_pose
+
+                pose = rt_to_pose(rt)
+            else:
+                raise NotImplementedError(cfg.pose.estimator)
+
+            if cfg.pose.pred_pose_gt_scale and pose_gt is not None:
+                scale = jnp.linalg.norm(pose_gt[:, :3, 3], axis=-1)
+                pose = pose.at[:, :3, 3].multiply(scale[:, None])
+
+        if cfg.record_pose:
+            return {"pose": pose, "flow": flow}
+
+        depth_init, depth = self.depth_net(
+            ref, target[:, None], pose[:, None], K, K_inv, train=train
+        )
+        return {
+            "flow": flow,
+            "flow_all": flow_all,
+            "pose": pose,
+            "depth_init": depth_init,
+            "depth": depth,
+            "inliers": inliers,
+        }
+
+    def _pose_by_ransac(self, flow, K_inv, key):
+        """Batched on-device RANSAC pose (≙ `pose_by_ransac`, SFMnet.py:176)."""
+        cfg = self.cfg.pose
+        B = flow.shape[0]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_sample, k_ransac = jax.random.split(key)
+        x1, x2 = sample_correspondences(
+            jax.lax.stop_gradient(flow).astype(jnp.float64),
+            K_inv.astype(jnp.float64),
+            num_points=cfg.num_correspondences,
+            margin=cfg.corr_margin,
+            key=k_sample,
+        )
+
+        def run(x1i, x2i, ki):
+            out = ransac_pose(
+                x1i,
+                x2i,
+                ki,
+                num_hypotheses=cfg.num_hypotheses,
+                ransac_iter=cfg.ransac_iter,
+                threshold=cfg.ransac_threshold,
+                polish=cfg.use_polish,
+                polish_iters=cfg.polish_iters,
+                huber_delta=cfg.polish_huber_delta,
+            )
+            return out["P"], out["inliers"]
+
+        keys = jax.random.split(k_ransac, B)
+        P, inl = jax.vmap(run)(x1, x2, keys)
+        return (
+            jax.lax.stop_gradient(P.astype(jnp.float32)),
+            jax.lax.stop_gradient(inl),
+        )

@@ -1,0 +1,187 @@
+"""Shared network building blocks.
+
+TPU-native rebuild of `models/submodule.py` (`convbn` `:12`, `convbn_3d`
+`:18`, `BasicBlock` `:23`, `feature_extraction` SPP encoder `:108-184`,
+`disparityregression` `:57-80`, `depthregression` `:82-93`).
+
+Conventions: flax.linen, NHWC (2D) / NDHWC (3D) layouts, explicit compute
+`dtype` (bfloat16 under the mixed-precision policy, ref `MIXED_PREC`
+`main.py:38-64`) with float32 parameters. BatchNorm statistics follow the
+flax `batch_stats` collection; `train=True` updates them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv2D + BatchNorm, no activation (ref `convbn`, submodule.py:12)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation if self.dilation > 1 else self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )(x)
+
+
+class ConvBN3D(nn.Module):
+    """Conv3D + BatchNorm (ref `convbn_3d`, submodule.py:18). NDHWC."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.stride,
+            padding=tuple(k // 2 for k in self.kernel),
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    """Residual block (ref `BasicBlock`, submodule.py:23-45)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = ConvBN(self.features, 3, self.stride, self.dilation, self.dtype)(
+            x, train
+        )
+        out = nn.relu(out)
+        out = ConvBN(self.features, 3, 1, self.dilation, self.dtype)(out, train)
+        if self.downsample:
+            x = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype
+            )(x)
+        return out + x
+
+
+def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """align_corners=True bilinear resize of (B, H, W, C).
+
+    torch `F.interpolate(..., align_corners=True)` maps output corner
+    pixels to input corner pixels; jax.image.resize uses half-pixel
+    centers, so implement via `bilinear_sample` on the corner-aligned grid.
+    """
+    from deep_sfm_revisited_tpu.ops.camera import bilinear_sample
+
+    B, H, W, C = x.shape
+    h, w = hw
+    if (h, w) == (H, W):
+        return x
+    ys = jnp.linspace(0.0, H - 1.0, h, dtype=jnp.float32)
+    xs = jnp.linspace(0.0, W - 1.0, w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.broadcast_to(
+        jnp.stack([gx, gy], axis=-1)[None], (B, h, w, 2)
+    ).astype(x.dtype)
+    return bilinear_sample(x, coords)
+
+
+class SPPFeatureExtractor(nn.Module):
+    """Spatial-pyramid-pooling feature encoder at 1/4 resolution.
+
+    Rebuild of `feature_extraction` (`models/submodule.py:108-184`):
+    3 stride-2-entry convs, residual layers (32x3, 64x16/s2, 128x3,
+    128x3/dil2), four avg-pool pyramid branches -> 1x1 -> upsample,
+    concat(64+128+4*32=320) -> 3x3 128 -> 1x1 32. Output (B, H/4, W/4, 32).
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        x = x.astype(d)
+        # firstconv: stride-2 + two 3x3
+        x = nn.relu(ConvBN(32, 3, 2, 1, d)(x, train))
+        x = nn.relu(ConvBN(32, 3, 1, 1, d)(x, train))
+        x = nn.relu(ConvBN(32, 3, 1, 1, d)(x, train))
+
+        def layer(x, feats, blocks, stride, dilation):
+            x = BasicBlock(
+                feats, stride, dilation,
+                downsample=(stride != 1 or x.shape[-1] != feats), dtype=d,
+            )(x, train)
+            for _ in range(blocks - 1):
+                x = BasicBlock(feats, 1, dilation, dtype=d)(x, train)
+            return x
+
+        x = layer(x, 32, 3, 1, 1)
+        raw = layer(x, 64, 16, 2, 1)      # 1/4 res, 64ch
+        x = layer(raw, 128, 3, 1, 1)
+        skip = layer(x, 128, 3, 1, 2)     # 1/4 res, 128ch
+
+        H, W = skip.shape[1], skip.shape[2]
+        branches = []
+        for pool in (32, 16, 8, 4):
+            # plain non-overlapping pooling as in the reference (AvgPool2d(pool))
+            b = nn.avg_pool(skip, (pool, pool), strides=(pool, pool))
+            b = nn.relu(ConvBN(32, 1, 1, 1, d)(b, train))
+            branches.append(resize_bilinear(b, (H, W)))
+
+        feat = jnp.concatenate([raw, skip] + branches[::-1], axis=-1)  # 320ch
+        feat = nn.relu(ConvBN(128, 3, 1, 1, d)(feat, train))
+        feat = nn.Conv(32, (1, 1), use_bias=False, dtype=d)(feat)
+        return feat
+
+
+def soft_argmax_disparity(prob: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+    """Soft-argmax over disparity labels 1..maxdisp.
+
+    prob (B, D, H, W) softmax weights -> (B, H, W) expected label.
+    Matches `disparityregression` (`models/submodule.py:57-80`,
+    TRUNC_SOFT=False default path).
+    """
+    disp = jnp.arange(1, maxdisp + 1, dtype=prob.dtype)[None, :, None, None]
+    return jnp.sum(prob * disp, axis=1)
+
+
+def soft_argmax_depth(prob: jnp.ndarray, maxdisp: int, min_depth: float) -> jnp.ndarray:
+    """Soft-argmax over metric depth labels (ref `depthregression`)."""
+    d = jnp.arange(1, maxdisp + 1, dtype=prob.dtype)[None, :, None, None] * min_depth
+    return jnp.sum(prob * d, axis=1)

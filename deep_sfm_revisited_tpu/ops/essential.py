@@ -1,0 +1,566 @@
+"""Batched essential-matrix engine: five-point solver, RANSAC, polish.
+
+TPU-native replacement for the reference's entire CUDA extension
+`RANSAC_FiveP/essential_matrix/` (~8.6k LoC, SURVEY.md §2.5):
+
+  * `five_point_candidates`  <- Nister minimal solver
+    (`essential_matrix_5pt.cu:1224` entry; nullspace `:538-678`; the ten
+    cubic constraints `:317-428`; degree-10 determinant `:935`) — here the
+    constraint coefficients are assembled with one precomputed (4,4,4,20)
+    monomial-product tensor contraction instead of hand-rolled polynomial
+    classes, and the Gauss-Jordan reduction is a batched 10x10
+    `jnp.linalg.solve`;
+  * root finding              <- ops/polyroots.py (replaces `sturm.cu`);
+  * `decompose_essential`     <- cheirality test (`cheirality.cu:4-214`),
+    via symmetric eigendecomposition of E E^T (TPU has no general SVD
+    kernel in f64; eigh is enough because E's singular values are known);
+  * `sampson_error` + `ransac_pose` <- the 512-thread RANSAC drivers
+    (`essential_matrix.cu:121-123,190-279`, scoring
+    `kernel_functions.cu:231-264`) — the per-thread loop becomes one flat
+    vmapped hypothesis axis scored with a single batched einsum, and the
+    winner is a masked argmax (no host sync, no managed memory);
+  * `polish_essential`        <- robust IRLS refinement
+    (`polish_E.cu:1470` parametric-Huber polish) — Gauss-Newton on the
+    Sampson distance over the 6-dof (U, V) rotation parameterization with
+    Levenberg damping (the 1-dim gauge null-direction of the (U,V)
+    parameterization is absorbed by the damping), derivatives by jacfwd
+    instead of ~1.7k LoC of hand-derived gradients.
+
+All math is float64, as the reference forces (`models/SFMnet.py:265-270`).
+Conventions: correspondences are K^-1-normalized image points; x1 in the
+reference view, x2 in the target view; E = [t]_x R with X2 = R X1 + t, so
+x2^T E x1 = 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep_sfm_revisited_tpu.ops.linalg64 import det3x3, eigh3x3, gauss_solve, nullspace
+from deep_sfm_revisited_tpu.ops.polyroots import real_roots
+from deep_sfm_revisited_tpu.ops.rotations import exp_so3, skew
+
+# ---------------------------------------------------------------------------
+# monomial bookkeeping (static numpy, baked into the jaxpr as constants)
+# ---------------------------------------------------------------------------
+
+# degree-1 basis of E(x, y, z) = x X + y Y + z Z + W: exponent vectors
+_DEG1 = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]])
+
+# canonical list of the 20 monomials of degree <= 3 in (x, y, z)
+_MONOMIALS = [
+    (i, j, k)
+    for d in range(3, -1, -1)
+    for i in range(d, -1, -1)
+    for j in range(d - i, -1, -1)
+    for k in [d - i - j]
+]
+assert len(_MONOMIALS) == 20
+_MONO_INDEX = {m: i for i, m in enumerate(_MONOMIALS)}
+
+
+def _triple_product_tensor() -> np.ndarray:
+    """T[a,b,c,m] = 1 iff basis_a * basis_b * basis_c == monomial m."""
+    T = np.zeros((4, 4, 4, 20))
+    for a in range(4):
+        for b in range(4):
+            for c in range(4):
+                m = tuple(_DEG1[a] + _DEG1[b] + _DEG1[c])
+                T[a, b, c, _MONO_INDEX[m]] = 1.0
+    return T
+
+
+_T3 = _triple_product_tensor()
+
+# Nister's column ordering (Sec. 3.2 of the paper; mirrors the reduction
+# the CUDA code performs in essential_matrix_5pt.cu:852):
+#   first 10 columns get eliminated to the identity,
+#   last 10 = {x,y,1} x {z^2, z, 1} U {z^3} coefficients of the 3x3 B(z).
+_COLS_FIRST = [
+    _MONO_INDEX[m]
+    for m in [
+        (3, 0, 0),  # x^3
+        (0, 3, 0),  # y^3
+        (2, 1, 0),  # x^2 y
+        (1, 2, 0),  # x y^2
+        (2, 0, 1),  # x^2 z
+        (2, 0, 0),  # x^2
+        (0, 2, 1),  # y^2 z
+        (0, 2, 0),  # y^2
+        (1, 1, 1),  # x y z
+        (1, 1, 0),  # x y
+    ]
+]
+_COLS_LAST = [
+    _MONO_INDEX[m]
+    for m in [
+        (1, 0, 2),  # x z^2
+        (1, 0, 1),  # x z
+        (1, 0, 0),  # x
+        (0, 1, 2),  # y z^2
+        (0, 1, 1),  # y z
+        (0, 1, 0),  # y
+        (0, 0, 3),  # z^3
+        (0, 0, 2),  # z^2
+        (0, 0, 1),  # z
+        (0, 0, 0),  # 1
+    ]
+]
+
+
+def _polymul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Coefficient convolution, lowest-power-first, static small sizes."""
+    n, m = a.shape[-1], b.shape[-1]
+    out = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (n + m - 1,), a.dtype)
+    for i in range(n):
+        out = out.at[..., i : i + m].add(a[..., i : i + 1] * b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# five-point minimal solver
+# ---------------------------------------------------------------------------
+
+
+def _nullspace4(A: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal basis of the right nullspace of A (..., 5, 9) -> (..., 4, 9).
+
+    Householder QR of A^T (ops/linalg64.py — TPU has no f64 QR kernel):
+    replaces the partial-pivot elimination `null_space_solve_5x9`
+    (`essential_matrix_5pt.cu:538-678`) with a numerically stabler
+    factored form that XLA batches.
+    """
+    return nullspace(A, null_dim=4)
+
+
+def _constraint_matrix(EB: jnp.ndarray) -> jnp.ndarray:
+    """The 10 cubic constraints as a (..., 10, 20) coefficient matrix.
+
+    EB (..., 4, 3, 3): coefficients of E's entries over the basis
+    [x, y, z, 1]. Constraints: det(E) = 0 and
+    2 E E^T E - tr(E E^T) E = 0 (`EEeqns_5pt`,
+    `essential_matrix_5pt.cu:428`; `polydet4` `:317`; `traceEEt` `:335`).
+    """
+    T3 = jnp.asarray(_T3, EB.dtype)
+
+    def tp(u, v, w):
+        # triple product of degree-1 polys -> 20 monomial coefficients
+        return jnp.einsum("...a,...b,...c,abcm->...m", u, v, w, T3)
+
+    e = EB  # (..., 4, 3, 3); e[..., :, i, j] = coeff vector of E_ij
+
+    # det(E) by cofactor expansion along row 0
+    det = (
+        tp(e[..., 0, 0], e[..., 1, 1], e[..., 2, 2])
+        - tp(e[..., 0, 0], e[..., 1, 2], e[..., 2, 1])
+        - tp(e[..., 0, 1], e[..., 1, 0], e[..., 2, 2])
+        + tp(e[..., 0, 1], e[..., 1, 2], e[..., 2, 0])
+        + tp(e[..., 0, 2], e[..., 1, 0], e[..., 2, 1])
+        - tp(e[..., 0, 2], e[..., 1, 1], e[..., 2, 0])
+    )
+
+    # G_ij = sum_kl [ 2 e_ik e_lk e_lj - e_kl^2 e_ij ]
+    # 2 E E^T E term
+    G = jnp.einsum(
+        "...aik,...blk,...clj,abcm->...ijm", e, e, e, T3
+    ) * 2.0
+    # tr(E E^T) E term
+    trE = jnp.einsum("...akl,...bkl,...cij,abcm->...ijm", e, e, e, T3)
+    G = G - trE
+    G = G.reshape(G.shape[:-3] + (9, 20))
+    return jnp.concatenate([det[..., None, :], G], axis=-2)
+
+
+def five_point_candidates(x1: jnp.ndarray, x2: jnp.ndarray):
+    """Essential-matrix candidates from 5 normalized correspondences.
+
+    x1, x2: (..., 5, 2) K^-1-normalized points (ref view / target view).
+    Returns (E, valid): E (..., 10, 3, 3) Frobenius-normalized candidates,
+    valid (..., 10) bool. Replaces `compute_E_matrices_optimized`
+    (`essential_matrix_5pt.cu:1224-1249`).
+    """
+    dtype = x1.dtype
+    ones = jnp.ones_like(x1[..., :1])
+    q1 = jnp.concatenate([x1, ones], axis=-1)  # (..., 5, 3)
+    q2 = jnp.concatenate([x2, ones], axis=-1)
+
+    # epipolar constraint rows: coefficient of E_ij (row-major) = q2_i q1_j
+    A = jnp.einsum("...ni,...nj->...nij", q2, q1).reshape(q1.shape[:-1] + (9,))
+    basis = _nullspace4(A)  # (..., 4, 9): [X, Y, Z, W]
+    EB = basis.reshape(basis.shape[:-1] + (3, 3))  # (..., 4, 3, 3)
+
+    M = _constraint_matrix(EB)  # (..., 10, 20)
+    L = M[..., _COLS_FIRST]
+    R = M[..., _COLS_LAST]
+    # Gauss-Jordan with partial pivoting: reduced right block of [I | L^-1 R]
+    # (replaces `reduce_Ematrix`, essential_matrix_5pt.cu:852)
+    Rb = gauss_solve(L, R)  # (..., 10, 10)
+
+    # rows with leading monomials x^2 z, x^2, y^2 z, y^2, xyz, xy
+    e, f, g, h, i_, j_ = (Rb[..., k, :] for k in range(4, 10))
+
+    def split(row):
+        # row over [xz^2, xz, x, yz^2, yz, y, z^3, z^2, z, 1]
+        px = row[..., 2::-1]        # (1, z, z^2) -> lowest-first (3,)
+        py = row[..., 5:2:-1]
+        p1 = row[..., 9:5:-1]       # (1, z, z^2, z^3) -> (4,)
+        return px, py, p1
+
+    def minus_z(pa, pb):
+        # pa - z * pb, lowest-power-first; output one degree higher
+        n = pa.shape[-1]
+        out = jnp.zeros(pa.shape[:-1] + (n + 1,), pa.dtype)
+        out = out.at[..., :n].add(pa)
+        out = out.at[..., 1 : n + 1].add(-pb)
+        return out
+
+    ex, ey, e1 = split(e)
+    fx, fy, f1 = split(f)
+    gx, gy, g1 = split(g)
+    hx, hy, h1 = split(h)
+    ix, iy, i1 = split(i_)
+    jx, jy, j1 = split(j_)
+
+    kx, ky, k1 = minus_z(ex, fx), minus_z(ey, fy), minus_z(e1, f1)
+    lx, ly, l1 = minus_z(gx, hx), minus_z(gy, hy), minus_z(g1, h1)
+    mx, my, m1 = minus_z(ix, jx), minus_z(iy, jy), minus_z(i1, j1)
+
+    # det of the 3x3 polynomial matrix B(z) -> degree-10 polynomial
+    # (replaces `compute_determinant`, essential_matrix_5pt.cu:935)
+    p_det = (
+        _polymul(kx, _polymul(ly, m1) - _polymul(l1, my))
+        - _polymul(ky, _polymul(lx, m1) - _polymul(l1, mx))
+        + _polymul(k1, _polymul(lx, my) - _polymul(ly, mx))
+    )  # (..., 11)
+
+    z, valid = real_roots(p_det, max_roots=10)  # (..., 10)
+
+    # back-substitute each root: B(z) [x, y, 1]^T = 0
+    def poly_eval(cf, zz):
+        out = jnp.zeros_like(zz)
+        for k in range(cf.shape[-1] - 1, -1, -1):
+            out = out * zz + cf[..., k, None]
+        return out
+
+    B = jnp.stack(
+        [
+            jnp.stack([poly_eval(kx, z), poly_eval(ky, z), poly_eval(k1, z)], -1),
+            jnp.stack([poly_eval(lx, z), poly_eval(ly, z), poly_eval(l1, z)], -1),
+            jnp.stack([poly_eval(mx, z), poly_eval(my, z), poly_eval(m1, z)], -1),
+        ],
+        axis=-2,
+    )  # (..., 10, 3, 3)
+
+    # nullvector of B via the best-conditioned pair of row cross products
+    c01 = jnp.cross(B[..., 0, :], B[..., 1, :])
+    c02 = jnp.cross(B[..., 0, :], B[..., 2, :])
+    c12 = jnp.cross(B[..., 1, :], B[..., 2, :])
+    crosses = jnp.stack([c01, c02, c12], axis=-2)  # (..., 10, 3, 3)
+    norms = jnp.abs(crosses[..., 2])  # prefer a well-scaled 3rd component
+    best = jnp.argmax(norms, axis=-1)
+    nvec = jnp.take_along_axis(crosses, best[..., None, None], axis=-2)[..., 0, :]
+    w3 = nvec[..., 2]
+    ok = jnp.abs(w3) > 1e-14
+    w3 = jnp.where(ok, w3, 1.0)
+    x = nvec[..., 0] / w3
+    y = nvec[..., 1] / w3
+    valid = valid & ok
+
+    # E = x X + y Y + z Z + W
+    coeff = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)  # (..., 10, 4)
+    E = jnp.einsum("...ra,...aij->...rij", coeff, EB)
+    E = E / jnp.maximum(
+        jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)[..., None, None],
+        jnp.asarray(1e-30, dtype),
+    )
+    return E, valid
+
+
+# ---------------------------------------------------------------------------
+# decomposition / cheirality / scoring
+# ---------------------------------------------------------------------------
+
+
+def essential_from_rt(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """E = [t]_x R for X2 = R X1 + t. (..., 3, 3), (..., 3) -> (..., 3, 3)."""
+    return skew(t) @ R
+
+
+def _uv_from_essential(E: jnp.ndarray):
+    """Proper-rotation factors U, V with E ~ U diag(1,1,0) V^T.
+
+    Uses eigh of the symmetric E E^T (ascending eigenvalues ~ (0, s^2, s^2))
+    instead of a general SVD — f64 eigh is available everywhere, and E's
+    singular structure is known. Replaces the Givens decomposition `Edecomp`
+    (`polish_E.cu:147-244`) / `decomposeUV` API (`essential_matrix_wrapper
+    .cpp:102-108`).
+    """
+    EEt = E @ jnp.swapaxes(E, -1, -2)
+    _, U0 = eigh3x3(EEt)  # ascending
+    u1, u2, u3 = U0[..., 2], U0[..., 1], U0[..., 0]
+    # right-handed U
+    u3 = jnp.cross(u1, u2)
+    Et = jnp.swapaxes(E, -1, -2)
+    v1 = jnp.einsum("...ij,...j->...i", Et, u1)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
+    v2 = jnp.einsum("...ij,...j->...i", Et, u2)
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
+    v3 = jnp.cross(v1, v2)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    V = jnp.stack([v1, v2, v3], axis=-1)
+    return U, V
+
+
+_W = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _depths_for_config(R, t, q1, q2):
+    """Linear two-view depths (z1, z2) of rays q1 -> q2 under (R, t).
+
+    q1, q2 (..., N, 3) homogeneous normalized points; R (..., 3, 3),
+    t (..., 3). Least-squares z1 from z2 q2 = R q1 z1 + t, then z2.
+    """
+    a = jnp.einsum("...ij,...nj->...ni", R, q1)  # (..., N, 3)
+    cx = q2[..., 0] * a[..., 2] - a[..., 0]
+    cy = q2[..., 1] * a[..., 2] - a[..., 1]
+    dx = t[..., 0, None] - q2[..., 0] * t[..., 2, None]
+    dy = t[..., 1, None] - q2[..., 1] * t[..., 2, None]
+    z1 = (cx * dx + cy * dy) / (cx * cx + cy * cy + 1e-30)
+    z2 = a[..., 2] * z1 + t[..., 2, None]
+    return z1, z2
+
+
+def decompose_essential(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray):
+    """E -> (R, t) resolving the 4-fold ambiguity by cheirality voting.
+
+    E (..., 3, 3); x1, x2 (..., N, 2) normalized correspondences. Returns
+    (P, ncheiral): P (..., 3, 4) with unit-norm t, and the positive-depth
+    vote count of the winning configuration. Replaces `compute_P_matrices`
+    (`cheirality.cu:4-214`), vectorized over all N points instead of the
+    CUDA per-point loop.
+    """
+    U, V = _uv_from_essential(E)
+    W = jnp.asarray(_W, E.dtype)
+    Vt = jnp.swapaxes(V, -1, -2)
+    Ra = U @ W @ Vt
+    Rb = U @ jnp.swapaxes(W, -1, -2) @ Vt
+    # force proper rotations (det=+1); U, V are proper so this is a no-op,
+    # kept as cheap insurance against eigh sign flips
+    Ra = Ra * jnp.sign(det3x3(Ra))[..., None, None]
+    Rb = Rb * jnp.sign(det3x3(Rb))[..., None, None]
+    tu = U[..., :, 2]  # third column: null direction of E^T (epipole)
+
+    ones = jnp.ones_like(x1[..., :1])
+    q1 = jnp.concatenate([x1, ones], axis=-1)
+    q2 = jnp.concatenate([x2, ones], axis=-1)
+
+    def votes(R, t):
+        z1, z2 = _depths_for_config(R, t, q1, q2)
+        return jnp.sum((z1 > 0) & (z2 > 0), axis=-1)
+
+    configs = [(Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu)]
+    counts = jnp.stack([votes(R, t) for R, t in configs], axis=-1)  # (..., 4)
+    best = jnp.argmax(counts, axis=-1)
+
+    Rs = jnp.stack([c[0] for c in configs], axis=-3)  # (..., 4, 3, 3)
+    ts = jnp.stack([c[1] for c in configs], axis=-2)  # (..., 4, 3)
+    R = jnp.take_along_axis(Rs, best[..., None, None, None], axis=-3)[..., 0, :, :]
+    t = jnp.take_along_axis(ts, best[..., None, None], axis=-2)[..., 0, :]
+    ncheiral = jnp.max(counts, axis=-1)
+    P = jnp.concatenate([R, t[..., None]], axis=-1)
+    return P, ncheiral
+
+
+def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order Sampson distance |x2^T E x1| / sqrt(J J^T).
+
+    E (..., 3, 3); x1, x2 (..., N, 2). Returns (..., N). Matches
+    `ComputeError` (`kernel_functions.cu:231-264`): unsquared distance, so
+    the reference's inlier threshold (1e-4, `lib/config.py:54`) applies
+    unchanged.
+    """
+    ones = jnp.ones_like(x1[..., :1])
+    q1 = jnp.concatenate([x1, ones], axis=-1)
+    q2 = jnp.concatenate([x2, ones], axis=-1)
+    Eq1 = jnp.einsum("...ij,...nj->...ni", E, q1)
+    Etq2 = jnp.einsum("...ji,...nj->...ni", E, q2)
+    num = jnp.sum(q2 * Eq1, axis=-1)
+    den = jnp.sqrt(
+        Eq1[..., 0] ** 2 + Eq1[..., 1] ** 2 + Etq2[..., 0] ** 2 + Etq2[..., 1] ** 2
+        + 1e-30
+    )
+    return jnp.abs(num) / den
+
+
+# ---------------------------------------------------------------------------
+# robust polish (IRLS Gauss-Newton on the (U, V) manifold)
+# ---------------------------------------------------------------------------
+
+
+def _signed_sampson(E, q1, q2):
+    Eq1 = jnp.einsum("ij,nj->ni", E, q1)
+    Etq2 = jnp.einsum("ji,nj->ni", E, q2)
+    num = jnp.sum(q2 * Eq1, axis=-1)
+    den = jnp.sqrt(
+        Eq1[..., 0] ** 2 + Eq1[..., 1] ** 2 + Etq2[..., 0] ** 2 + Etq2[..., 1] ** 2
+        + 1e-30
+    )
+    return num / den
+
+
+def polish_essential(
+    E0: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    iters: int = 10,
+    huber_delta: float = 1e-3,
+    damping: float = 1e-8,
+) -> jnp.ndarray:
+    """Robust local refinement of a single E on its 5-dof manifold.
+
+    E0 (3, 3); x1, x2 (N, 2); optional per-point weights (N,) (e.g. the
+    RANSAC inlier mask). Levenberg-damped Gauss-Newton on Huber-weighted
+    Sampson distances, parameterized as U exp(w_u), V exp(w_v). Replaces
+    `polish_E_robust_parametric` (`polish_E.cu:953,1470`) — jacfwd supplies
+    the Jacobian the CUDA version derives by hand. vmap over a batch axis
+    for multiple matrices.
+    """
+    dtype = E0.dtype
+    ones = jnp.ones_like(x1[..., :1])
+    q1 = jnp.concatenate([x1, ones], axis=-1)
+    q2 = jnp.concatenate([x2, ones], axis=-1)
+    if weights is None:
+        weights = jnp.ones(q1.shape[0], dtype)
+    D = jnp.asarray(np.diag([1.0, 1.0, 0.0]), dtype)
+
+    U0, V0 = _uv_from_essential(E0)
+
+    def e_of(theta, U, V):
+        Uu = U @ exp_so3(theta[:3])
+        Vv = V @ exp_so3(theta[3:])
+        return Uu @ D @ Vv.T
+
+    def step(carry, _):
+        U, V = carry
+        r0 = _signed_sampson(U @ D @ V.T, q1, q2)
+        # Huber IRLS weights at the current residuals
+        absr = jnp.abs(r0)
+        w = weights * jnp.where(absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-30))
+
+        def resid(theta):
+            return _signed_sampson(e_of(theta, U, V), q1, q2)
+
+        theta0 = jnp.zeros(6, dtype)
+        J = jax.jacfwd(resid)(theta0)  # (N, 6)
+        Jw = J * w[:, None]
+        H = J.T @ Jw + damping * jnp.eye(6, dtype=dtype)
+        g = Jw.T @ r0
+        delta = -gauss_solve(H, g[:, None])[:, 0]
+        # accept only improving steps (cheap trust region)
+        r1 = resid(delta)
+        c0 = jnp.sum(w * _huber(r0, huber_delta))
+        c1 = jnp.sum(w * _huber(r1, huber_delta))
+        good = c1 < c0
+        delta = jnp.where(good, delta, jnp.zeros_like(delta))
+        return (U @ exp_so3(delta[:3]), V @ exp_so3(delta[3:])), None
+
+    (U, V), _ = jax.lax.scan(step, (U0, V0), None, length=iters)
+    E = U @ D @ V.T
+    return E / jnp.linalg.norm(E)
+
+
+def _huber(r, delta):
+    a = jnp.abs(r)
+    return jnp.where(a <= delta, 0.5 * a * a, delta * (a - 0.5 * delta))
+
+
+# ---------------------------------------------------------------------------
+# RANSAC driver
+# ---------------------------------------------------------------------------
+
+
+def ransac_pose(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    key: jax.Array,
+    num_hypotheses: int = 512,
+    ransac_iter: int = 5,
+    threshold: float = 1e-4,
+    polish: bool = True,
+    polish_iters: int = 10,
+    huber_delta: float = 1e-3,
+):
+    """Five-point RANSAC over one correspondence set.
+
+    x1, x2: (N, 2) normalized correspondences (float64). The total
+    hypothesis budget is num_hypotheses * ransac_iter, matching the
+    reference's 512 CUDA workers x ransac_iter sequential rounds
+    (`essential_matrix.cu:121-123,201-203`) but flattened into one batched
+    axis — on TPU there is no reason to serialize the rounds.
+
+    Returns dict(E (3,3), P (3,4), inliers (scalar), inlier_mask (N,)).
+    vmap over a batch of pairs; shard the hypothesis axis with
+    parallel/ransac_sharded for multi-chip.
+    """
+    dtype = x1.dtype
+    N = x1.shape[0]
+    H = num_hypotheses * ransac_iter
+
+    # minimal-sample selection: uniform with replacement, as the reference
+    # (`SelectSubset`, kernel_functions.cu:284-300 — "no checking that
+    # elements are unique"); collision-degenerate samples are discarded by
+    # the valid mask / scoring.
+    idx = jax.random.randint(key, (H, 5), 0, N)
+    s1 = x1[idx]  # (H, 5, 2)
+    s2 = x2[idx]
+
+    E, valid = five_point_candidates(s1, s2)  # (H, 10, 3, 3), (H, 10)
+    Ef = E.reshape(-1, 3, 3)
+    validf = valid.reshape(-1)
+
+    # score all candidates against all points in one batched einsum
+    err = sampson_error(Ef[:, None], x1[None], x2[None])  # broadcasting trick
+    # sampson_error broadcasts E (..., 3, 3) against x (..., N, 2); arrange
+    # shapes explicitly: E (C, 1, 3, 3), x (1, N, 2) -> err (C, N)
+    err = err.reshape(Ef.shape[0], N)
+    inl = err < threshold
+    counts = jnp.where(validf, jnp.sum(inl, axis=-1), -1)
+
+    best = jnp.argmax(counts)
+    E_best = Ef[best]
+    inlier_mask = inl[best]
+    n_inl = jnp.maximum(counts[best], 0)
+
+    if polish:
+        w = inlier_mask.astype(dtype)
+        # guard: if almost no inliers, polish on all points (degenerate pair)
+        enough = n_inl >= 8
+        w = jnp.where(enough, w, jnp.ones_like(w))
+        E_pol = polish_essential(
+            E_best, x1, x2, weights=w, iters=polish_iters, huber_delta=huber_delta
+        )
+        # LO acceptance on the truncated-Sampson cost (inlier *count* is too
+        # coarse: a refinement that trades one borderline inlier for much
+        # lower residuals everywhere must not be rejected)
+        thr = jnp.asarray(threshold, dtype)
+        cost0 = jnp.sum(jnp.minimum(sampson_error(E_best, x1, x2), thr))
+        cost1 = jnp.sum(jnp.minimum(sampson_error(E_pol, x1, x2), thr))
+        better = cost1 <= cost0
+        E_best = jnp.where(better, E_pol, E_best)
+        inlier_mask = sampson_error(E_best, x1, x2) < threshold
+        n_inl = jnp.sum(inlier_mask)
+
+    P, _ = decompose_essential(E_best, x1, x2)
+    return {"E": E_best, "P": P, "inliers": n_inl, "inlier_mask": inlier_mask}
+
+
+ransac_pose_batch = jax.vmap(
+    ransac_pose,
+    in_axes=(0, 0, 0),
+    out_axes=0,
+)

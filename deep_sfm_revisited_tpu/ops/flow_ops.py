@@ -1,0 +1,132 @@
+"""Flow <-> correspondence <-> depth conversions.
+
+Rebuilds `flow2coord`/`coord2flow` (`epipolar_utils.py:8-45`, duplicated at
+`models/SFMnet.py:298-333`) and the flow->depth triangulation
+(`models/flow2depth.py:7-41`), plus the on-device correspondence sampler
+that replaces the reference's per-image OpenCV SIFT/SURF + FLANN loop
+(`models/SFMnet.py:192-254`). The reference itself falls back to a dense
+flow grid inside a 10px margin when matching fails
+(`models/SFMnet.py:239-241`); that deterministic, batched path is our
+primary one — no host round-trips, no per-batch-item python loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deep_sfm_revisited_tpu.ops.camera import pixel_grid
+
+
+def flow2coord(flow: jnp.ndarray):
+    """Flow (B, H, W, 2) -> homogeneous correspondence grids.
+
+    Returns (coord1, coord2), each (B, H, W, 3) with (u, v, 1).
+    Matches `flow2coord` (`epipolar_utils.py:8-28`) modulo NHWC layout.
+    """
+    b, h, w, _ = flow.shape
+    grid = jnp.moveaxis(pixel_grid(h, w, flow.dtype), 0, -1)  # (H,W,3)
+    coord1 = jnp.broadcast_to(grid[None], (b, h, w, 3))
+    coord2 = jnp.concatenate([coord1[..., :2] + flow, coord1[..., 2:]], axis=-1)
+    return coord1, coord2
+
+
+def coord2flow(coord1: jnp.ndarray, coord2: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of flow2coord: (B, H, W, 3) pairs -> flow (B, H, W, 2).
+
+    Matches `coord2flow` (`epipolar_utils.py:32-45`).
+    """
+    return coord2[..., :2] - coord1[..., :2]
+
+
+def sample_correspondences(
+    flow: jnp.ndarray,
+    K_inv: jnp.ndarray,
+    num_points: int,
+    margin: int = 10,
+    key: jax.Array | None = None,
+    conf: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Subsample normalized correspondences from dense flow, on device.
+
+    flow (B, H, W, 2); K_inv (B, 3, 3); returns (x1, x2), each
+    (B, num_points, 2) in K^-1-normalized image coordinates — the solver
+    input format of `compute_P_matrix_ransac` (`epipolar_utils.py:112-135`,
+    fed at `models/SFMnet.py:252-270`).
+
+    Sampling: a uniform stride grid inside `margin` (the reference's
+    fallback, `models/SFMnet.py:183,239-241`), optionally jittered by `key`
+    and importance-weighted by a confidence map (replacing SIFT keypoint
+    masks with a deterministic, batchable scheme). Fixed output shape for
+    jit.
+    """
+    b, h, w, _ = flow.shape
+    ih, iw = h - 2 * margin, w - 2 * margin
+    # stride grid with ~num_points cells
+    aspect = iw / ih
+    ny = max(int(round((num_points / aspect) ** 0.5)), 1)
+    nx = max(num_points // ny, 1)
+    ys = jnp.linspace(margin, h - 1 - margin, ny)
+    xs = jnp.linspace(margin, w - 1 - margin, nx)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    pts = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (ny*nx, 2)
+    # pad/trim to exactly num_points (repeat from start if short)
+    reps = -(-num_points // pts.shape[0])
+    pts = jnp.tile(pts, (reps, 1))[:num_points]
+    pts = jnp.broadcast_to(pts[None], (b, num_points, 2)).astype(flow.dtype)
+
+    if key is not None:
+        cell = jnp.array([iw / nx, ih / ny], dtype=flow.dtype)
+        jitter = jax.random.uniform(key, pts.shape, flow.dtype, -0.5, 0.5) * cell
+        pts = jnp.clip(
+            pts + jitter,
+            jnp.array([margin, margin], dtype=flow.dtype),
+            jnp.array([w - 1 - margin, h - 1 - margin], dtype=flow.dtype),
+        )
+
+    pts_i = jnp.round(pts).astype(jnp.int32)
+    flat = flow.reshape(b, h * w, 2)
+    idx = pts_i[..., 1] * w + pts_i[..., 0]
+    f = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B,N,2)
+    p1 = pts_i.astype(flow.dtype)
+    p2 = p1 + f
+
+    ones = jnp.ones_like(p1[..., :1])
+    h1 = jnp.concatenate([p1, ones], axis=-1)  # (B,N,3)
+    h2 = jnp.concatenate([p2, ones], axis=-1)
+    n1 = jnp.einsum("bij,bnj->bni", K_inv, h1)
+    n2 = jnp.einsum("bij,bnj->bni", K_inv, h2)
+    return n1[..., :2], n2[..., :2]
+
+
+def flow2depth(
+    flow: jnp.ndarray,
+    pose: jnp.ndarray,
+    K: jnp.ndarray,
+    K_inv: jnp.ndarray,
+    min_depth: float = 1e-3,
+) -> jnp.ndarray:
+    """Closed-form per-pixel depth from flow + relative pose (triangulation).
+
+    flow (B, H, W, 2), pose (B, 3, 4) ref->target, K/K_inv (B, 3, 3)
+    -> depth (B, H, W) in the reference view.
+
+    Full least-squares triangulation generalizing the reference's
+    `Flow2Depth` (`models/flow2depth.py:7-41`): with a = K R K^-1 [u,v,1]
+    and b = K t, the target pixel x2 satisfies z2 x2 = a z1 + b; the two
+    non-homogeneous rows give (x2*a_z - a_x) z1 = b_x - x2*b_z (same for y),
+    solved in least squares over both rows.
+    """
+    b_, h, w, _ = flow.shape
+    grid = pixel_grid(h, w, flow.dtype).reshape(3, -1)  # (3,HW)
+    KRKinv = jnp.einsum("bij,bjk,bkl->bil", K, pose[:, :, :3], K_inv)
+    a = jnp.einsum("bij,jn->bin", KRKinv, grid)  # (B,3,HW)
+    t = jnp.einsum("bij,bj->bi", K, pose[:, :, 3])  # (B,3)
+    x2 = (grid[None, :2] + jnp.moveaxis(flow.reshape(b_, -1, 2), -1, 1))  # (B,2,HW)
+    # rows: c_i * z = d_i for i in {x, y}
+    cx = x2[:, 0] * a[:, 2] - a[:, 0]
+    cy = x2[:, 1] * a[:, 2] - a[:, 1]
+    dx = t[:, 0, None] - x2[:, 0] * t[:, 2, None]
+    dy = t[:, 1, None] - x2[:, 1] * t[:, 2, None]
+    z = (cx * dx + cy * dy) / (cx * cx + cy * cy + 1e-12)
+    return jnp.maximum(z, min_depth).reshape(b_, h, w)

@@ -1,0 +1,161 @@
+"""Synthetic harness for the essential-matrix engine.
+
+TPU-native port of the reference's only native test,
+`RANSAC_FiveP/essential_matrix/essential_matrix_main.cu` (SURVEY.md §4):
+generate a random (R, t) + 3D points, project to correspondences, pollute
+with noise/outliers, run the solver/RANSAC, and check pose recovery.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_sfm_revisited_tpu.ops import essential as ess
+from deep_sfm_revisited_tpu.ops import rotations as rot
+from deep_sfm_revisited_tpu.ops.polyroots import real_roots
+
+F64 = jnp.float64
+
+
+def make_scene(key, n_points=200, noise=0.0, outlier_frac=0.0,
+               rot_scale=0.3, trans=(0.5, 0.1, 0.05)):
+    """Random two-view scene in normalized coordinates (≙ GenerateMatches)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    angles = jax.random.uniform(k1, (3,), F64, -rot_scale, rot_scale)
+    R = rot.angle_to_matrix(angles)
+    t = jnp.asarray(trans, F64)
+    t = t / jnp.linalg.norm(t)
+
+    # points in front of both cameras
+    xy = jax.random.uniform(k2, (n_points, 2), F64, -0.5, 0.5)
+    z = jax.random.uniform(k3, (n_points,), F64, 4.0, 10.0)
+    X1 = jnp.concatenate([xy * z[:, None], z[:, None]], axis=-1)
+    X2 = X1 @ R.T + t
+
+    x1 = X1[:, :2] / X1[:, 2:]
+    x2 = X2[:, :2] / X2[:, 2:]
+
+    if noise > 0:
+        x1 = x1 + noise * jax.random.normal(k4, x1.shape, F64)
+        x2 = x2 + noise * jax.random.normal(k4, x2.shape, F64)
+    if outlier_frac > 0:
+        n_out = int(n_points * outlier_frac)
+        x2 = x2.at[:n_out].set(
+            jax.random.uniform(k5, (n_out, 2), F64, -0.5, 0.5)
+        )
+    E = ess.essential_from_rt(R, t)
+    return x1, x2, R, t, E / jnp.linalg.norm(E)
+
+
+def e_distance(E1, E2):
+    """min over sign of Frobenius distance between normalized E's."""
+    E1 = E1 / jnp.linalg.norm(E1)
+    E2 = E2 / jnp.linalg.norm(E2)
+    return float(jnp.minimum(jnp.linalg.norm(E1 - E2), jnp.linalg.norm(E1 + E2)))
+
+
+def test_real_roots_vs_numpy():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        roots_true = rng.uniform(-3, 3, size=rng.randint(1, 6))
+        # build poly with those real roots and some complex pairs
+        coeffs = np.poly1d(np.concatenate([roots_true]), r=True).coeffs
+        n_extra = (10 - len(roots_true)) // 2
+        for _ in range(n_extra):
+            a, b = rng.uniform(-2, 2), rng.uniform(0.5, 2)
+            # (x - (a+bi))(x - (a-bi)) = x^2 - 2a x + a^2+b^2
+            coeffs = np.convolve(coeffs, [1, -2 * a, a * a + b * b])
+        cf = jnp.asarray(coeffs[::-1], F64)  # lowest-first
+        got, valid = real_roots(cf, max_roots=10)
+        got = np.sort(np.asarray(got)[np.asarray(valid)])
+        expect = np.sort(roots_true)
+        assert len(got) == len(expect), (got, expect)
+        np.testing.assert_allclose(got, expect, atol=1e-8)
+
+
+def test_five_point_exact():
+    """Noise-free minimal problem must contain the true E among candidates."""
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        x1, x2, R, t, E_true = make_scene(key, n_points=5)
+        E, valid = ess.five_point_candidates(x1, x2)
+        # all valid candidates satisfy the epipolar constraint on the 5 pts
+        errs = ess.sampson_error(E[:, None], x1[None], x2[None]).reshape(10, 5)
+        errs = np.asarray(jnp.where(valid[:, None], errs, jnp.inf))
+        dists = [e_distance(E[i], E_true) for i in range(10) if valid[i]]
+        assert len(dists) >= 1
+        assert min(dists) < 1e-6, f"seed {seed}: best E dist {min(dists)}"
+
+
+def test_five_point_batched():
+    key = jax.random.PRNGKey(0)
+    scenes = [make_scene(jax.random.PRNGKey(s), n_points=5) for s in range(4)]
+    x1 = jnp.stack([s[0] for s in scenes])
+    x2 = jnp.stack([s[1] for s in scenes])
+    E, valid = ess.five_point_candidates(x1, x2)
+    assert E.shape == (4, 10, 3, 3)
+    assert valid.shape == (4, 10)
+    assert bool(jnp.all(jnp.sum(valid, axis=-1) >= 1))
+
+
+def test_decompose_essential_recovers_pose():
+    key = jax.random.PRNGKey(3)
+    x1, x2, R, t, E_true = make_scene(key, n_points=100)
+    P, ncheiral = ess.decompose_essential(E_true, x1, x2)
+    assert int(ncheiral) == 100
+    r_err = float(rot.rotation_angular_error(P[:, :3], R))
+    t_err = float(jnp.linalg.norm(P[:, 3] / jnp.linalg.norm(P[:, 3]) - t))
+    # arccos conditioning near 1 limits measurable angular error to ~1e-7
+    assert r_err < 1e-6, r_err
+    assert t_err < 1e-7, t_err
+
+
+def test_ransac_clean():
+    key = jax.random.PRNGKey(7)
+    x1, x2, R, t, E_true = make_scene(key, n_points=200)
+    out = ess.ransac_pose(x1, x2, jax.random.PRNGKey(11),
+                          num_hypotheses=64, ransac_iter=1, polish=False)
+    assert int(out["inliers"]) > 190
+    assert e_distance(out["E"], E_true) < 1e-5
+    r_err = float(rot.rotation_angular_error(out["P"][:, :3], R))
+    assert r_err < 1e-6
+
+
+def test_ransac_noise_and_outliers():
+    """≙ PolluteData path of essential_matrix_main.cu: 1px-ish noise + 30% outliers."""
+    key = jax.random.PRNGKey(5)
+    # noise 5e-4 in normalized coords ~ 0.35px at f=700
+    x1, x2, R, t, E_true = make_scene(key, n_points=300, noise=5e-4,
+                                      outlier_frac=0.3)
+    out = ess.ransac_pose(x1, x2, jax.random.PRNGKey(13),
+                          num_hypotheses=256, ransac_iter=2,
+                          threshold=2e-3, polish=True)
+    r_err = float(rot.rotation_angular_error(out["P"][:, :3], R))
+    t_dir = out["P"][:, 3] / jnp.linalg.norm(out["P"][:, 3])
+    t_err = float(jnp.arccos(jnp.clip(jnp.dot(t_dir, t), -1, 1)))
+    assert r_err < 0.01, f"rotation error {np.degrees(r_err)} deg"
+    assert t_err < 0.02, f"translation angle error {np.degrees(t_err)} deg"
+    assert int(out["inliers"]) > 150
+
+
+def test_ransac_batch_vmap():
+    scenes = [make_scene(jax.random.PRNGKey(s), n_points=128) for s in range(3)]
+    x1 = jnp.stack([s[0] for s in scenes])
+    x2 = jnp.stack([s[1] for s in scenes])
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    out = ess.ransac_pose_batch(x1, x2, keys)
+    assert out["P"].shape == (3, 3, 4)
+    for i, (_, _, R, t, _) in enumerate(scenes):
+        r_err = float(rot.rotation_angular_error(out["P"][i, :, :3], R))
+        assert r_err < 1e-4, (i, r_err)
+
+
+def test_polish_improves_noisy_estimate():
+    key = jax.random.PRNGKey(9)
+    x1, x2, R, t, E_true = make_scene(key, n_points=300, noise=1e-3)
+    # perturb the true E and polish back
+    E0 = E_true + 0.05 * jax.random.normal(key, (3, 3), F64)
+    E0 = E0 / jnp.linalg.norm(E0)
+    E_pol = ess.polish_essential(E0, x1, x2, iters=15, huber_delta=1e-2)
+    assert e_distance(E_pol, E_true) < e_distance(E0, E_true) * 0.5

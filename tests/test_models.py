@@ -1,0 +1,122 @@
+"""Forward-pass shape/finiteness tests for the networks (SURVEY.md §4:
+fixed-seed tiny-image forward tests, the rebuild's per-network strategy)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_sfm_revisited_tpu.config import DepthConfig, FlowConfig, SfMConfig
+from deep_sfm_revisited_tpu.models.psnet import PSNet
+from deep_sfm_revisited_tpu.models.raft import RAFT
+from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+from deep_sfm_revisited_tpu.models.submodules import SPPFeatureExtractor
+
+F32 = jnp.float32
+
+
+def small_K(b, h, w, f=50.0):
+    K = jnp.asarray([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], F32)
+    return jnp.broadcast_to(K, (b, 3, 3))
+
+
+def test_spp_feature_extractor_shapes():
+    m = SPPFeatureExtractor()
+    x = jnp.zeros((2, 64, 96, 3), F32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 16, 24, 32)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_psnet_forward():
+    cfg = DepthConfig(nlabel=16, min_depth=1.0)
+    m = PSNet(cfg)
+    b, h, w = 1, 64, 96
+    ref = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3), F32, -1, 1)
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (b, 1, h, w, 3), F32, -1, 1)
+    pose = jnp.concatenate(
+        [jnp.eye(3, dtype=F32), jnp.array([[0.2], [0.0], [0.0]], F32)], 1
+    )[None, None]
+    K = small_K(b, h, w)
+    K_inv = jnp.linalg.inv(K)
+    params = m.init(jax.random.PRNGKey(2), ref, tgt, pose, K, K_inv)
+    d_init, d = m.apply(params, ref, tgt, pose, K, K_inv)
+    assert d_init.shape == (b, h, w)
+    assert d.shape == (b, h, w)
+    assert bool(jnp.all(jnp.isfinite(d)))
+    # depths live in [min_depth, min_depth * nlabel] by construction
+    assert float(d_init.min()) >= cfg.min_depth - 1e-3
+    assert float(d_init.max()) <= cfg.min_depth * cfg.nlabel + 1e-3
+
+
+def test_raft_forward():
+    cfg = FlowConfig(raft_iters_train=2, raft_iters_eval=3)
+    m = RAFT(cfg)
+    b, h, w = 1, 64, 96
+    pair = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 6), F32, -1, 1)
+    params = m.init(jax.random.PRNGKey(1), pair)
+    flow, conf = m.apply(params, pair)
+    assert flow.shape == (b, h, w, 2)
+    assert conf is None
+    assert bool(jnp.all(jnp.isfinite(flow)))
+    # training mode returns the per-iteration stack
+    flows, _ = m.apply(
+        params, pair, train=True, all_iters=True,
+        mutable=["batch_stats"],
+    )[0]
+    assert flows.shape == (2, b, h, w, 2)
+
+
+def tiny_sfm_config():
+    cfg = SfMConfig()
+    cfg = cfg.override(**{
+        "flow.raft_iters_train": 2,
+        "flow.raft_iters_eval": 2,
+        "depth.nlabel": 8,
+        "pose.num_hypotheses": 16,
+        "pose.ransac_iter": 1,
+        "pose.num_correspondences": 128,
+        "pose.polish_iters": 2,
+    })
+    return cfg
+
+
+def test_sfmnet_end_to_end():
+    cfg = tiny_sfm_config()
+    m = SFMNet(cfg)
+    b, h, w = 1, 64, 96
+    k = jax.random.PRNGKey(0)
+    ref = jax.random.uniform(k, (b, h, w, 3), F32, -1, 1)
+    target = jnp.roll(ref, 2, axis=2)  # simple shift "motion"
+    K = small_K(b, h, w)
+    params = m.init(jax.random.PRNGKey(1), ref, target, K, key=k)
+    out = m.apply(params, ref, target, K, key=k)
+    assert out["flow"].shape == (b, h, w, 2)
+    assert out["pose"].shape == (b, 3, 4)
+    assert out["depth"].shape == (b, h, w)
+    assert bool(jnp.all(jnp.isfinite(out["depth"])))
+    # pose translation is unit-norm from RANSAC decomposition
+    np.testing.assert_allclose(
+        jnp.linalg.norm(out["pose"][:, :, 3], axis=-1), 1.0, atol=1e-4
+    )
+
+
+def test_sfmnet_gt_pose_path():
+    cfg = tiny_sfm_config()
+    m = SFMNet(cfg)
+    b, h, w = 1, 64, 96
+    ref = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3), F32, -1, 1)
+    target = jnp.roll(ref, 2, axis=2)
+    K = small_K(b, h, w)
+    pose_gt = jnp.concatenate(
+        [jnp.eye(3, dtype=F32), jnp.array([[0.3], [0.0], [0.1]], F32)], 1
+    )[None]
+    params = m.init(
+        jax.random.PRNGKey(1), ref, target, K, pose_gt=pose_gt, use_gt_pose=True
+    )
+    out = m.apply(params, ref, target, K, pose_gt=pose_gt, use_gt_pose=True)
+    assert out["depth"].shape == (b, h, w)
+    np.testing.assert_allclose(out["pose"], pose_gt, atol=1e-6)
