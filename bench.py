@@ -1,0 +1,89 @@
+"""End-to-end throughput benchmark on the real TPU chip.
+
+Measures flagship frame-pairs/sec of the full SFMNet eval pipeline
+(RAFT flow -> on-device f64 five-point RANSAC pose -> PSNet plane-sweep
+depth with nlabel=128) at the KITTI eval configuration (padded 384x1280,
+b=1, bf16 compute; ≙ `README.md:57-61` + `main.py:494-533`).
+
+Prints ONE JSON line:
+  {"metric": "frame_pairs_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / BASELINE_FPS}
+
+BASELINE_FPS is the reference pipeline's measured order of magnitude on a
+datacenter GPU: the serial per-image SIFT+FLANN+RANSAC pose path plus
+DICL flow and a 128-plane PSNet sweep runs at ~1 s/frame-pair
+(BASELINE.md targets >= 3x A100 throughput per v5e chip; the reference
+publishes no fps, so 1.0 pairs/s is the documented working estimate).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 1.0
+
+# eval-protocol shapes: KITTI 370x1224 padded to /128 (main.py:315-338)
+B, H, W = 1, 384, 1280
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    jax.config.update("jax_enable_x64", True)
+    from deep_sfm_revisited_tpu.config import SfMConfig
+    from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+
+    cfg = SfMConfig.kitti(nlabel=128).override(**{
+        "flow.raft_iters_eval": 12,
+        "pose.num_hypotheses": 512,
+        "pose.ransac_iter": 1,
+        "pose.num_correspondences": 1024,
+        "pose.polish_iters": 5,
+    })
+    model = SFMNet(cfg, dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    ref = jax.random.uniform(key, (B, H, W, 3), jnp.float32, -1, 1)
+    target = jnp.roll(ref, 3, axis=2)
+    K = jnp.broadcast_to(
+        jnp.asarray(
+            [[718.856, 0, 607.19], [0, 718.856, 185.2], [0, 0, 1]],
+            jnp.float32,
+        ),
+        (B, 3, 3),
+    )
+
+    variables = model.init(jax.random.PRNGKey(1), ref, target, K,
+                           key=jax.random.PRNGKey(2))
+
+    @jax.jit
+    def forward(variables, ref, target, K):
+        out = model.apply(variables, ref, target, K,
+                          key=jax.random.PRNGKey(3))
+        return out["depth"], out["pose"]
+
+    for _ in range(WARMUP):
+        d, p = forward(variables, ref, target, K)
+        jax.block_until_ready(d)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        d, p = forward(variables, ref, target, K)
+        jax.block_until_ready(d)
+    dt = time.perf_counter() - t0
+
+    fps = B * ITERS / dt
+    print(json.dumps({
+        "metric": "frame_pairs_per_sec",
+        "value": round(fps, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,11 @@ class PSNet(nn.Module):
     cfg: DepthConfig
     norm_target: float = 0.0  # >0: rescale pose translation (RESCALE_DEPTH)
     dtype: Dtype = jnp.float32
+    # optional NamedSharding for the (B, D, H/4, W/4, C) cost volume:
+    # P(data, model) shards the plane-sweep D axis over the model mesh
+    # axis (SURVEY.md §2.7 — the TPU-native "sequence parallel" of this
+    # workload); XLA partitions the 3D convs with halo exchange.
+    cost_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -174,6 +179,8 @@ class PSNet(nn.Module):
                 ref_feat[:, None].astype(jnp.float32), warped.shape
             )
             cost = jnp.concatenate([refb, warped], axis=-1).astype(d)
+            if self.cost_sharding is not None:
+                cost = jax.lax.with_sharding_constraint(cost, self.cost_sharding)
             c = hourglass(cost, train)  # (B, D, H/4, W/4, 1)
             costs = c if costs is None else costs + c
         costs = costs / T

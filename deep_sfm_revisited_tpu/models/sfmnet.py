@@ -42,6 +42,11 @@ class SFMNet(nn.Module):
 
     cfg: SfMConfig
     dtype: Dtype = jnp.float32
+    # optional NamedSharding over (batch, hypothesis) pinning the RANSAC
+    # candidate axis to a mesh axis (see ops.essential.ransac_pose)
+    hyp_sharding: Any = None
+    # optional NamedSharding for PSNet's plane-sweep cost volume
+    cost_sharding: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -59,7 +64,10 @@ class SFMNet(nn.Module):
                 cfg.train.norm_target if cfg.train.rescale_depth else 0.0
             )
             self.depth_net = PSNet(
-                cfg.depth, norm_target=norm_target, dtype=self.dtype
+                cfg.depth,
+                norm_target=norm_target,
+                dtype=self.dtype,
+                cost_sharding=self.cost_sharding,
             )
         else:
             raise NotImplementedError(cfg.depth.estimator)
@@ -152,23 +160,19 @@ class SFMNet(nn.Module):
             key=k_sample,
         )
 
-        def run(x1i, x2i, ki):
-            out = ransac_pose(
-                x1i,
-                x2i,
-                ki,
-                num_hypotheses=cfg.num_hypotheses,
-                ransac_iter=cfg.ransac_iter,
-                threshold=cfg.ransac_threshold,
-                polish=cfg.use_polish,
-                polish_iters=cfg.polish_iters,
-                huber_delta=cfg.polish_huber_delta,
-            )
-            return out["P"], out["inliers"]
-
-        keys = jax.random.split(k_ransac, B)
-        P, inl = jax.vmap(run)(x1, x2, keys)
+        out = ransac_pose(
+            x1,
+            x2,
+            k_ransac,
+            num_hypotheses=cfg.num_hypotheses,
+            ransac_iter=cfg.ransac_iter,
+            threshold=cfg.ransac_threshold,
+            polish=cfg.use_polish,
+            polish_iters=cfg.polish_iters,
+            huber_delta=cfg.polish_huber_delta,
+            hyp_sharding=self.hyp_sharding,
+        )
         return (
-            jax.lax.stop_gradient(P.astype(jnp.float32)),
-            jax.lax.stop_gradient(inl),
+            jax.lax.stop_gradient(out["P"].astype(jnp.float32)),
+            jax.lax.stop_gradient(out["inliers"]),
         )

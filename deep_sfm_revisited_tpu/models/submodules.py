@@ -116,9 +116,7 @@ def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     ys = jnp.linspace(0.0, H - 1.0, h, dtype=jnp.float32)
     xs = jnp.linspace(0.0, W - 1.0, w, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    coords = jnp.broadcast_to(
-        jnp.stack([gx, gy], axis=-1)[None], (B, h, w, 2)
-    ).astype(x.dtype)
+    coords = jnp.broadcast_to(jnp.stack([gx, gy], axis=-1)[None], (B, h, w, 2))
     return bilinear_sample(x, coords)
 
 

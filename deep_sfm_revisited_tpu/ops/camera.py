@@ -86,7 +86,10 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """
     B, H, W, C = img.shape
     out_shape = coords.shape[:-1] + (C,)
-    xy = coords.reshape(B, -1, 2)
+    # coordinates always in float32: half-precision coords round flat
+    # indices out of range (bf16 has an 8-bit mantissa; y*W+x overflows its
+    # exact-integer range at ~256), which silently corrupts the gather
+    xy = coords.reshape(B, -1, 2).astype(jnp.float32)
     x, y = xy[..., 0], xy[..., 1]
 
     valid = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
@@ -104,7 +107,8 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     def gather(yy, xx):
         idx = (yy * W + xx).astype(jnp.int32)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+        # indices are pre-clipped; mode="clip" skips XLA's NaN-fill path
+        return jnp.take_along_axis(flat, idx[..., None], axis=1, mode="clip")
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)
@@ -113,7 +117,7 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     out = (top * (1 - wy) + bot * wy) * valid[..., None]
-    return out.reshape(out_shape)
+    return out.reshape(out_shape).astype(img.dtype)
 
 
 def inverse_warp(

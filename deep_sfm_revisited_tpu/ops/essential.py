@@ -494,73 +494,109 @@ def ransac_pose(
     polish: bool = True,
     polish_iters: int = 10,
     huber_delta: float = 1e-3,
+    hyp_sharding=None,
 ):
-    """Five-point RANSAC over one correspondence set.
+    """Batched five-point RANSAC.
 
-    x1, x2: (N, 2) normalized correspondences (float64). The total
-    hypothesis budget is num_hypotheses * ransac_iter, matching the
+    x1, x2: (B, N, 2) or (N, 2) normalized correspondences (float64). The
+    total hypothesis budget is num_hypotheses * ransac_iter, matching the
     reference's 512 CUDA workers x ransac_iter sequential rounds
     (`essential_matrix.cu:121-123,201-203`) but flattened into one batched
     axis — on TPU there is no reason to serialize the rounds.
 
-    Returns dict(E (3,3), P (3,4), inliers (scalar), inlier_mask (N,)).
-    vmap over a batch of pairs; shard the hypothesis axis with
-    parallel/ransac_sharded for multi-chip.
+    The batch axis is native (no vmap) so `hyp_sharding` — an optional
+    `jax.sharding.NamedSharding` over (batch, hypothesis) — can pin the
+    candidate axis to a device-mesh axis; XLA then shards the five-point
+    solves and the Sampson-scoring einsum across chips and inserts the
+    argmax reduction collectives (SURVEY.md §2.7: the TPU-native
+    equivalent of the reference's 512-thread grid).
+
+    Returns dict(E (B,3,3), P (B,3,4), inliers (B,), inlier_mask (B,N));
+    leading dims squeezed if the input was unbatched.
     """
+    unbatched = x1.ndim == 2
+    if unbatched:
+        x1, x2 = x1[None], x2[None]
     dtype = x1.dtype
-    N = x1.shape[0]
+    B, N = x1.shape[0], x1.shape[1]
     H = num_hypotheses * ransac_iter
 
     # minimal-sample selection: uniform with replacement, as the reference
     # (`SelectSubset`, kernel_functions.cu:284-300 — "no checking that
     # elements are unique"); collision-degenerate samples are discarded by
     # the valid mask / scoring.
-    idx = jax.random.randint(key, (H, 5), 0, N)
-    s1 = x1[idx]  # (H, 5, 2)
-    s2 = x2[idx]
+    idx = jax.random.randint(key, (B, H, 5), 0, N)
+    flat = idx.reshape(B, H * 5, 1)
+    s1 = jnp.take_along_axis(x1, flat, axis=1).reshape(B, H, 5, 2)
+    s2 = jnp.take_along_axis(x2, flat, axis=1).reshape(B, H, 5, 2)
+    if hyp_sharding is not None:
+        s1 = jax.lax.with_sharding_constraint(s1, hyp_sharding)
+        s2 = jax.lax.with_sharding_constraint(s2, hyp_sharding)
 
-    E, valid = five_point_candidates(s1, s2)  # (H, 10, 3, 3), (H, 10)
-    Ef = E.reshape(-1, 3, 3)
-    validf = valid.reshape(-1)
+    E, valid = five_point_candidates(s1, s2)  # (B, H, 10, 3, 3), (B, H, 10)
+    C = H * 10
+    Ef = E.reshape(B, C, 3, 3)
+    validf = valid.reshape(B, C)
 
-    # score all candidates against all points in one batched einsum
-    err = sampson_error(Ef[:, None], x1[None], x2[None])  # broadcasting trick
-    # sampson_error broadcasts E (..., 3, 3) against x (..., N, 2); arrange
-    # shapes explicitly: E (C, 1, 3, 3), x (1, N, 2) -> err (C, N)
-    err = err.reshape(Ef.shape[0], N)
+    # score all candidates against all points in one batched einsum:
+    # E batch dims (B, C) x point batch dims (B, 1) -> err (B, C, N)
+    err = sampson_error(Ef, x1[:, None], x2[:, None])
     inl = err < threshold
-    counts = jnp.where(validf, jnp.sum(inl, axis=-1), -1)
+    counts = jnp.where(validf, jnp.sum(inl, axis=-1), -1)  # (B, C)
 
-    best = jnp.argmax(counts)
-    E_best = Ef[best]
-    inlier_mask = inl[best]
-    n_inl = jnp.maximum(counts[best], 0)
+    best = jnp.argmax(counts, axis=-1)  # (B,)
+    E_best = jnp.take_along_axis(Ef, best[:, None, None, None], axis=1)[:, 0]
+    inlier_mask = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    n_inl = jnp.maximum(jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0], 0)
+
+    # degenerate-pair fallback: if no hypothesis produced a valid finite E
+    # (e.g. zero-parallax flow), substitute the canonical forward-motion
+    # essential matrix so downstream depth stays finite (the reference
+    # would crash into pdb here, epipolar_utils.py:82-83)
+    fallback = skew(jnp.asarray([1.0, 0.0, 0.0], dtype))
+    ok = (
+        (jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0] >= 0)
+        & jnp.all(jnp.isfinite(E_best), axis=(-2, -1))
+    )[:, None, None]
+    E_best = jnp.where(ok, E_best, fallback)
 
     if polish:
         w = inlier_mask.astype(dtype)
         # guard: if almost no inliers, polish on all points (degenerate pair)
-        enough = n_inl >= 8
+        enough = (n_inl >= 8)[:, None]
         w = jnp.where(enough, w, jnp.ones_like(w))
-        E_pol = polish_essential(
-            E_best, x1, x2, weights=w, iters=polish_iters, huber_delta=huber_delta
-        )
+        E_pol = jax.vmap(
+            lambda e, a, b, ww: polish_essential(
+                e, a, b, weights=ww, iters=polish_iters, huber_delta=huber_delta
+            )
+        )(E_best, x1, x2, w)
         # LO acceptance on the truncated-Sampson cost (inlier *count* is too
         # coarse: a refinement that trades one borderline inlier for much
         # lower residuals everywhere must not be rejected)
         thr = jnp.asarray(threshold, dtype)
-        cost0 = jnp.sum(jnp.minimum(sampson_error(E_best, x1, x2), thr))
-        cost1 = jnp.sum(jnp.minimum(sampson_error(E_pol, x1, x2), thr))
-        better = cost1 <= cost0
+        cost0 = jnp.sum(jnp.minimum(sampson_error(E_best, x1, x2), thr), -1)
+        cost1 = jnp.sum(jnp.minimum(sampson_error(E_pol, x1, x2), thr), -1)
+        better = ((cost1 <= cost0) & jnp.all(jnp.isfinite(E_pol), axis=(-2, -1)))[
+            :, None, None
+        ]
         E_best = jnp.where(better, E_pol, E_best)
         inlier_mask = sampson_error(E_best, x1, x2) < threshold
-        n_inl = jnp.sum(inlier_mask)
+        n_inl = jnp.sum(inlier_mask, axis=-1)
 
     P, _ = decompose_essential(E_best, x1, x2)
-    return {"E": E_best, "P": P, "inliers": n_inl, "inlier_mask": inlier_mask}
+    out = {"E": E_best, "P": P, "inliers": n_inl, "inlier_mask": inlier_mask}
+    if unbatched:
+        out = {k: v[0] for k, v in out.items()}
+    return out
 
 
-ransac_pose_batch = jax.vmap(
-    ransac_pose,
-    in_axes=(0, 0, 0),
-    out_axes=0,
-)
+def ransac_pose_batch(x1, x2, keys, **kw):
+    """Compatibility wrapper: batched inputs with per-item keys.
+
+    `ransac_pose` is natively batched; fold an array of keys into one.
+    """
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        key = keys if keys.ndim == 0 else keys.reshape(-1)[0]
+    else:  # legacy uint32 (2,) keys
+        key = keys if keys.ndim == 1 else keys.reshape(-1, 2)[0]
+    return ransac_pose(x1, x2, key, **kw)

@@ -1,0 +1,157 @@
+"""Training losses.
+
+Rebuilds the depth loss of `main.py:350-394` (masked smooth-L1 on
+depth_init/depth with 0.7 init weight and the RESCALE_DEPTH scale-window
+logic), the PoseNet regression loss (`main.py:396-408`), and the
+multi-iteration flow supervision of RAFT (`models/RAFT/core` sequence
+loss) / multiscale flow losses (`loss_functions.py:15-62`) + EPE
+(`loss_functions.py:247-288`).
+
+All losses are mask-weighted means computed with `where`-zeroing instead
+of boolean indexing (the reference's `tensor[mask]` produces dynamic
+shapes, which XLA cannot compile; the weighted-mean form is numerically
+identical).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def smooth_l1(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise Huber/smooth-L1 with beta=1 (torch F.smooth_l1_loss)."""
+    d = jnp.abs(pred - gt)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    w = mask.astype(x.dtype)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def depth_training_loss(
+    depth_init: jnp.ndarray,     # (B, H, W) pre-context prediction
+    depth: jnp.ndarray,          # (B, H, W) refined prediction
+    depth_gt: jnp.ndarray,       # (B, H, W) sparse GT (0 where absent)
+    pose_gt: jnp.ndarray,        # (B, 3, 4) GT relative pose (metric)
+    nlabel: int,
+    min_depth: float,
+    rescale_depth: bool = True,
+    norm_target: float = 0.6,
+    min_train_scale: float = 0.2,
+    max_train_scale: float = 2.0,
+    init_weight: float = 0.7,
+) -> Tuple[jnp.ndarray, dict]:
+    """Masked smooth-L1 depth loss ("follow the setting of DPSNet").
+
+    Matches `main.py:350-394`: the validity mask keeps
+    MIN_DEPTH <= gt <= nlabel*MIN_DEPTH and finite values; with
+    RESCALE_DEPTH the network's NORM_TARGET-scaled prediction is rescaled
+    by |t_gt|/NORM_TARGET and frames whose GT translation norm is outside
+    [MIN_TRAIN_SCALE, MAX_TRAIN_SCALE] are dropped from the loss.
+    """
+    valid = (
+        (depth_gt >= min_depth)
+        & (depth_gt <= nlabel * min_depth)
+        & jnp.isfinite(depth_gt)
+    )
+    scale = jnp.linalg.norm(pose_gt[:, :3, 3], axis=-1)  # (B,)
+    if rescale_depth:
+        scale_ok = (scale > min_train_scale) & (scale < max_train_scale)
+        ratio = (scale / norm_target)[:, None, None]
+        depth = depth * ratio
+        depth_init = depth_init * ratio
+    else:
+        scale_ok = scale > min_train_scale
+    mask = valid & scale_ok[:, None, None]
+
+    loss_init = _masked_mean(smooth_l1(depth_init, depth_gt), mask)
+    loss_out = _masked_mean(smooth_l1(depth, depth_gt), mask)
+    loss = init_weight * loss_init + loss_out
+    return loss, {
+        "depth_init": loss_init,
+        "depth_out": loss_out,
+        "valid_frac": _masked_mean(jnp.ones_like(depth_gt), mask),
+    }
+
+
+def pose_regression_loss(
+    rt_pred: jnp.ndarray,   # (B, 6): (rot3, normalized trans3)
+    pose_gt: jnp.ndarray,   # (B, 3, 4)
+    rot_weight: float = 20.0,
+) -> jnp.ndarray:
+    """MSE pose loss with 20x rotation weighting (≙ `main.py:396-408`)."""
+    from deep_sfm_revisited_tpu.ops.rotations import pose_to_rt
+
+    rt_gt = pose_to_rt(pose_gt)
+    t = rt_gt[:, 3:]
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    target = jnp.concatenate([rt_gt[:, :3], t], axis=-1)
+    per_dim = jnp.mean((rt_pred - target) ** 2, axis=0)  # (6,)
+    per_dim = per_dim.at[:3].multiply(rot_weight)
+    return jnp.mean(per_dim)
+
+
+def flow_epe(
+    flow_pred: jnp.ndarray,  # (B, H, W, 2)
+    flow_gt: jnp.ndarray,    # (B, H, W, 2)
+    valid: Optional[jnp.ndarray] = None,  # (B, H, W)
+) -> jnp.ndarray:
+    """End-point error (≙ `loss_functions.py:247-288`)."""
+    epe = jnp.linalg.norm(flow_pred - flow_gt, axis=-1)
+    if valid is None:
+        return jnp.mean(epe)
+    return _masked_mean(epe, valid)
+
+
+def flow_sequence_loss(
+    flow_preds: jnp.ndarray,  # (iters, B, H, W, 2)
+    flow_gt: jnp.ndarray,     # (B, H, W, 2)
+    valid: Optional[jnp.ndarray] = None,
+    gamma: float = 0.8,
+    max_flow: float = 400.0,
+) -> jnp.ndarray:
+    """Exponentially-weighted multi-iteration L1 (RAFT sequence loss).
+
+    The reference trains RAFT with this schedule (models/RAFT); DICL uses
+    the multiscale variant below.
+    """
+    n = flow_preds.shape[0]
+    mag = jnp.linalg.norm(flow_gt, axis=-1)
+    v = (mag < max_flow)
+    if valid is not None:
+        v = v & valid
+    total = 0.0
+    for i in range(n):
+        w = gamma ** (n - i - 1)
+        l1 = jnp.sum(jnp.abs(flow_preds[i] - flow_gt), axis=-1)
+        total = total + w * _masked_mean(l1, v)
+    return total
+
+
+def multiscale_flow_loss(
+    flow_pyramid,             # list of (B, h_i, w_i, 2), coarse->fine or any
+    flow_gt: jnp.ndarray,     # (B, H, W, 2) full-res GT
+    weights,                  # per-level loss weights (ref MultiScale_W)
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multiscale L1 flow loss (≙ `MultiScale_UP`, loss_functions.py:15-62).
+
+    GT is average-pooled (and flow-magnitude rescaled) to each level.
+    """
+    B, H, W, _ = flow_gt.shape
+    total = 0.0
+    for w_lvl, pred in zip(weights, flow_pyramid):
+        h, wdt = pred.shape[1], pred.shape[2]
+        fy, fx = H // h, W // wdt
+        gt = flow_gt.reshape(B, h, fy, wdt, fx, 2).mean(axis=(2, 4))
+        gt = gt / jnp.asarray([fx, fy], flow_gt.dtype)
+        l1 = jnp.sum(jnp.abs(pred - gt), axis=-1)
+        if valid is not None:
+            vv = valid.reshape(B, h, fy, wdt, fx).mean(axis=(2, 4)) > 0.5
+            total = total + w_lvl * _masked_mean(l1, vv)
+        else:
+            total = total + w_lvl * jnp.mean(l1)
+    return total

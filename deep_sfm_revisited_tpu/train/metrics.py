@@ -1,0 +1,140 @@
+"""Evaluation metrics.
+
+Rebuilds the KITTI Eigen depth protocol of `main.py:560-630`:
+  * validity mask 0 < d < 80 m + Eigen crop window
+    [0.408h, 0.992h] x [0.036w, 0.964w] (`main.py:568-574`),
+  * per-image median scale alignment (`main.py:576-585`),
+  * clamp to [MIN_DEPTH, nlabel*MIN_DEPTH] (`main.py:587-590`),
+  * the 9 scalar metrics of `evaluate_metric` (`main.py:727-747`) plus
+    l1_inverse / scale_invariant (`demon_metrics.py:63,130`),
+and the DeMoN motion errors (`compute_motion_errors`,
+`demon_metrics.py:391+`) without the minieigen dependency.
+
+All functions are jit-able masked reductions (the reference indexes with
+boolean masks, which XLA cannot; weighted means are identical).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from deep_sfm_revisited_tpu.ops.rotations import matrix_to_quat
+
+
+def _mmean(x, mask):
+    w = mask.astype(x.dtype)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def eigen_crop_mask(depth_gt: jnp.ndarray, max_depth: float = 80.0) -> jnp.ndarray:
+    """Eigen evaluation mask (≙ `main.py:568-574`). depth_gt (B, H, W)."""
+    b, h, w = depth_gt.shape
+    valid = (depth_gt > 0) & (depth_gt < max_depth)
+    y0, y1 = int(0.40810811 * h), int(0.99189189 * h)
+    x0, x1 = int(0.03594771 * w), int(0.96405229 * w)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    crop = (ys >= y0) & (ys < y1) & (xs >= x0) & (xs < x1)
+    return valid & crop[None]
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of masked entries of a 1-D slice (fixed-shape via sorting).
+
+    Invalid entries are pushed to +inf; the median index is derived from
+    the valid count.
+    """
+    n = x.shape[0]
+    vals = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(vals)
+    cnt = jnp.sum(mask)
+    mid = jnp.maximum(cnt - 1, 0) // 2
+    lo = s[jnp.clip(mid, 0, n - 1)]
+    hi = s[jnp.clip(cnt - 1 - mid, 0, n - 1)]  # == mid for odd cnt
+    med = 0.5 * (lo + hi)
+    return jnp.where(cnt > 0, med, 1.0)
+
+
+def median_scale_align(
+    pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-image median(gt)/median(pred) rescale (≙ `main.py:576-585`)."""
+    b = pred.shape[0]
+    p = pred.reshape(b, -1)
+    g = gt.reshape(b, -1)
+    m = mask.reshape(b, -1)
+    import jax
+
+    med_p = jax.vmap(_masked_median)(p, m)
+    med_g = jax.vmap(_masked_median)(g, m)
+    scale = med_g / jnp.maximum(med_p, 1e-12)
+    return pred * scale[:, None, None]
+
+
+def depth_metrics(
+    gt: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """The 9 depth metrics over masked pixels (≙ `main.py:727-747`)."""
+    eps = 1e-12
+    g = jnp.maximum(gt, eps)
+    p = jnp.maximum(pred, eps)
+    thresh = jnp.maximum(g / p, p / g)
+    log_d = jnp.log(g) - jnp.log(p)
+    # scale_invariant (demon_metrics.py:130): sqrt(E[d^2] - E[d]^2) of log diffs
+    mean_logd = _mmean(log_d, mask)
+    sc_inv = jnp.sqrt(
+        jnp.maximum(_mmean(log_d**2, mask) - mean_logd**2, 0.0)
+    )
+    return {
+        "abs_rel": _mmean(jnp.abs(g - p) / g, mask),
+        "sq_rel": _mmean((g - p) ** 2 / g, mask),
+        "rmse": jnp.sqrt(_mmean((g - p) ** 2, mask)),
+        "rmse_log": jnp.sqrt(_mmean(log_d**2, mask)),
+        "a1": _mmean((thresh < 1.25).astype(jnp.float32), mask),
+        "a2": _mmean((thresh < 1.25**2).astype(jnp.float32), mask),
+        "a3": _mmean((thresh < 1.25**3).astype(jnp.float32), mask),
+        "l1_inv": _mmean(jnp.abs(1.0 / g - 1.0 / p), mask),
+        "sc_inv": sc_inv,
+    }
+
+
+def evaluate_depth(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    nlabel: int,
+    min_depth: float,
+    max_depth: float = 80.0,
+    median_scale: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full Eigen protocol: mask + median align + clamp + metrics
+    (≙ `validate`, main.py:560-630)."""
+    mask = eigen_crop_mask(gt, max_depth)
+    if median_scale:
+        pred = median_scale_align(pred, gt, mask)
+    pred = jnp.clip(pred, min_depth, nlabel * min_depth)
+    return depth_metrics(gt, pred, mask)
+
+
+def motion_errors(
+    pred_pose: jnp.ndarray, gt_pose: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(rot angle err, normalized-translation L2, translation angle err).
+
+    ≙ `compute_motion_errors` (`demon_metrics.py:391+`), computed on
+    (..., 3, 4) pose matrices with quaternion angular distance instead of
+    the minieigen dependency.
+    """
+    q1 = matrix_to_quat(pred_pose[..., :3, :3])
+    q2 = matrix_to_quat(gt_pose[..., :3, :3])
+    dot = jnp.abs(jnp.sum(q1 * q2, axis=-1))
+    rot_err = 2.0 * jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+
+    t1 = pred_pose[..., :3, 3]
+    t2 = gt_pose[..., :3, 3]
+    n1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    n2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-12)
+    trans_dist = jnp.linalg.norm(n1 - n2, axis=-1)
+    trans_angle = jnp.arccos(jnp.clip(jnp.sum(n1 * n2, axis=-1), -1.0, 1.0))
+    return rot_err, trans_dist, trans_angle

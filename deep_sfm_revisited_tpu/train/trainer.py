@@ -1,0 +1,213 @@
+"""Training / evaluation steps and state.
+
+TPU-native rebuild of the reference driver loops (`main()` `main.py:122`,
+`train_epoch` `main.py:295`, `validate` `main.py:460`):
+
+  * Adam + milestone LR decay (`main.py:212,245`: lr 5e-4, MultiStepLR
+    milestones x0.5) via optax;
+  * flow-net freezing (`--fix-flownet`, `main.py:222-233`; the KITTI
+    recipe trains depth with the flow net frozen, README.md:52) via
+    optax.multi_transform zero-updates — gradients for frozen subtrees
+    are never applied;
+  * mixed precision: bfloat16 compute / float32 params. bf16 shares
+    float32's exponent range, so the reference's GradScaler
+    (`main.py:38-64,420-422`) has no TPU counterpart by design;
+  * the masked smooth-L1 depth loss with RESCALE_DEPTH handling
+    (train/losses.py ≙ `main.py:350-394`);
+  * data parallelism: one jit with batch inputs sharded over the mesh's
+    data axis and replicated params — XLA inserts the gradient psum the
+    reference delegates to DataParallel (`main.py:219`).
+
+The returned step functions are pure jit-ables; the host loop (data
+feeding, checkpointing, logging) lives in train/loop.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from deep_sfm_revisited_tpu.config import SfMConfig
+from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+from deep_sfm_revisited_tpu.train.losses import (
+    depth_training_loss,
+    flow_sequence_loss,
+)
+from deep_sfm_revisited_tpu.train.metrics import evaluate_depth
+
+
+class TrainState(struct.PyTreeNode):
+    """Parameters + optimizer + BatchNorm statistics."""
+
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def milestone_schedule(
+    lr: float, milestones, gamma: float, steps_per_epoch: int
+) -> optax.Schedule:
+    """MultiStepLR equivalent (≙ `main.py:245`)."""
+    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+    return optax.piecewise_constant_schedule(lr, boundaries)
+
+
+def build_optimizer(cfg: SfMConfig, steps_per_epoch: int = 1000):
+    """Adam + milestone decay + subtree freezing (≙ main.py:212,222-245)."""
+    t = cfg.train
+    sched = milestone_schedule(t.lr, t.milestones, t.lr_decay, steps_per_epoch)
+    adam = optax.adam(sched, b1=t.beta1, b2=t.beta2)
+
+    def label(params):
+        def lab(path):
+            top = path[0]
+            if t.fix_flownet and top == "flow_net":
+                return "freeze"
+            if t.fix_depthnet and top == "depth_net":
+                return "freeze"
+            return "train"
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: lab([p.key for p in path]), params
+        )
+
+    return optax.multi_transform(
+        {"train": adam, "freeze": optax.set_to_zero()}, label
+    )
+
+
+def create_train_state(
+    cfg: SfMConfig,
+    rng: jax.Array,
+    sample_shape: Tuple[int, int, int] = (1, 256, 768),
+    steps_per_epoch: int = 1000,
+) -> Tuple[SFMNet, TrainState]:
+    """Initialize the model + optimizer on host-shaped dummies."""
+    dtype = jnp.bfloat16 if cfg.train.mixed_prec else jnp.float32
+    model = SFMNet(cfg, dtype=dtype)
+    b, h, w = sample_shape
+    dummy = jnp.zeros((b, h, w, 3), jnp.float32)
+    K = jnp.broadcast_to(
+        jnp.asarray([[718.0, 0, w / 2], [0, 718.0, h / 2], [0, 0, 1]],
+                    jnp.float32),
+        (b, 3, 3),
+    )
+    variables = model.init(rng, dummy, dummy, K, key=jax.random.PRNGKey(0))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    tx = build_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    return model, state
+
+
+def make_train_step(model: SFMNet, cfg: SfMConfig):
+    """One optimization step on a batch dict with keys
+    ref/target/intrinsics/pose_gt/depth_gt (all device arrays).
+
+    Matches the reference's backward-direction training semantics
+    (`main.py:339-344`): the data pipeline supplies (ref, target) already
+    oriented, with pose_gt the ref->target metric transform and depth_gt
+    the reference-view GT.
+    """
+    t = cfg.train
+    d = cfg.depth
+
+    def loss_fn(params, batch_stats, batch, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables,
+            batch["ref"],
+            batch["target"],
+            batch["intrinsics"],
+            pose_gt=batch.get("pose_gt"),
+            use_gt_pose=cfg.use_gt_pose,
+            train=True,
+            key=key,
+            mutable=["batch_stats"],
+        )
+        loss, aux = depth_training_loss(
+            out["depth_init"],
+            out["depth"],
+            batch["depth_gt"],
+            batch["pose_gt"],
+            nlabel=d.nlabel,
+            min_depth=d.min_depth,
+            rescale_depth=t.rescale_depth,
+            norm_target=t.norm_target,
+            min_train_scale=t.min_train_scale,
+            max_train_scale=t.max_train_scale,
+            init_weight=t.depth_init_weight,
+        )
+        if not t.fix_flownet and out.get("flow_all") is not None and (
+            "flow_gt" in batch
+        ):
+            fl = flow_sequence_loss(
+                out["flow_all"], batch["flow_gt"], batch.get("flow_valid")
+            )
+            loss = loss + fl
+            aux = dict(aux, flow_loss=fl)
+        return loss, (aux, mutated["batch_stats"])
+
+    @jax.jit
+    def step(state: TrainState, batch, key):
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        metrics = dict(aux, loss=loss)
+        return state, metrics
+
+    return step
+
+
+def make_eval_step(model: SFMNet, cfg: SfMConfig):
+    """Eigen-protocol depth evaluation step (≙ `validate`, main.py:460)."""
+    d = cfg.depth
+    t = cfg.train
+
+    @jax.jit
+    def step(state: TrainState, batch, key):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(
+            variables,
+            batch["ref"],
+            batch["target"],
+            batch["intrinsics"],
+            pose_gt=batch.get("pose_gt"),
+            use_gt_pose=cfg.use_gt_pose,
+            train=False,
+            key=key,
+        )
+        depth = out["depth"]
+        if t.rescale_depth and batch.get("pose_gt") is not None:
+            # undo the NORM_TARGET normalization with the GT scale
+            # (≙ main.py:536-541)
+            scale = jnp.linalg.norm(batch["pose_gt"][:, :3, 3], axis=-1)
+            depth = depth * (scale / t.norm_target)[:, None, None]
+        metrics = evaluate_depth(
+            depth, batch["depth_gt"], nlabel=d.nlabel, min_depth=d.min_depth
+        )
+        return metrics, out
+
+    return step

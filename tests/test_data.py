@@ -1,0 +1,164 @@
+"""Data-pipeline tests over a synthetic on-disk KITTI-odometry miniature."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deep_sfm_revisited_tpu.data import (
+    BatchLoader,
+    Compose,
+    KittiVODataset,
+    Normalize,
+    RandomCrop,
+    compute_delta_rt,
+)
+from deep_sfm_revisited_tpu.data.loader import collate, pad_to_multiple
+from deep_sfm_revisited_tpu.data.transforms import (
+    CenterCrop,
+    RandomHorizontalFlip,
+    RandomZoom,
+)
+from deep_sfm_revisited_tpu.data.velodyne import project_depth
+
+
+@pytest.fixture(scope="module")
+def kitti_vo_root(tmp_path_factory):
+    """Miniature odometry tree: 2 test sequences x 4 frames of 64x96."""
+    from imageio.v2 import imwrite
+
+    root = tmp_path_factory.mktemp("kitti_vo")
+    rng = np.random.default_rng(0)
+    for seq in (9, 10):
+        img_dir = root / "sequences" / f"{seq:02d}" / "image_2"
+        os.makedirs(img_dir)
+        depth_dir = root / "RealDepth" / f"{seq:02d}" / "velodyne"
+        os.makedirs(depth_dir)
+        poses = []
+        for i in range(4):
+            img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+            imwrite(img_dir / f"{i:06d}.png", img)
+            depth = (rng.uniform(0, 40, (64, 96)) * 256).astype(np.uint16)
+            imwrite(depth_dir / f"{i:06d}.png", depth)
+            t = np.array([0.1 * i, 0.0, 1.2 * i])
+            pose = np.concatenate([np.eye(3), t[:, None]], axis=1)
+            poses.append(pose.reshape(-1))
+        np.savetxt(_posefile(root, seq), np.stack(poses))
+        with open(root / "sequences" / f"{seq:02d}" / "calib.txt", "w") as f:
+            f.write("P0: " + " ".join(["0"] * 12) + "\n")
+            f.write("P2: 70 0 48 0 0 70 32 0 0 0 1 0\n")
+    return str(root)
+
+
+def _posefile(root, seq):
+    os.makedirs(root / "poses", exist_ok=True)
+    return root / "poses" / f"{seq:02d}.txt"
+
+
+def test_compute_delta_rt_roundtrip():
+    rng = np.random.default_rng(1)
+    from deep_sfm_revisited_tpu.ops.rotations import angle_to_matrix
+    import jax.numpy as jnp
+
+    R1 = np.asarray(angle_to_matrix(jnp.asarray([0.1, 0.2, -0.1])))
+    R2 = np.asarray(angle_to_matrix(jnp.asarray([-0.05, 0.15, 0.2])))
+    p1 = np.concatenate([R1, rng.normal(size=(3, 1))], axis=1)
+    p2 = np.concatenate([R2, rng.normal(size=(3, 1))], axis=1)
+    d = compute_delta_rt(p1, p2)
+    # X_w = P1 @ [X_1;1]; delta maps frame-2 coords consistently:
+    # P2 @ [d^-1 x;1]... verify via world-point consistency instead:
+    X1 = rng.normal(size=3)
+    Xw = R1 @ X1 + p1[:, 3]
+    X2 = R2.T @ (Xw - p2[:, 3])
+    X2_from_delta = np.linalg.inv(
+        np.vstack([d, [0, 0, 0, 1]])
+    )[:3] @ np.concatenate([X1, [1.0]])
+    np.testing.assert_allclose(X2, X2_from_delta, atol=1e-6)
+
+
+def test_vo_dataset(kitti_vo_root):
+    tf = Compose([CenterCrop((48, 80)), Normalize()])
+    ds = KittiVODataset(kitti_vo_root, train=False, transform=tf)
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["ref"].shape == (48, 80, 3)
+    assert s["depth_gt"].shape == (48, 80)
+    assert s["intrinsics"].shape == (3, 3)
+    assert s["pose_gt"].shape == (3, 4)
+    assert abs(float(s["ref"].max())) <= 1.0
+    # pair stride: pose translation magnitude ~ per-frame motion
+    assert 0.5 < np.linalg.norm(s["pose_gt"][:, 3]) < 2.0
+
+
+def test_vo_sequence_boundary(kitti_vo_root):
+    ds = KittiVODataset(kitti_vo_root, train=False)
+    # last frame of seq 9 must pair backwards, not into seq 10
+    i, j = ds._pair_index(3)
+    assert ds.frames[i][0] == ds.frames[j][0] == 9
+    assert j == 2
+
+
+def test_transforms_intrinsics_consistency():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    depth = rng.uniform(1, 40, (64, 96)).astype(np.float32)
+    K = np.array([[70.0, 0, 48], [0, 70.0, 32], [0, 0, 1]], np.float32)
+
+    imgs, deps, K2 = RandomZoom(1.15)([img, img], [depth, depth], K, rng)
+    s = imgs[0].shape[0] / 64
+    np.testing.assert_allclose(K2[1, 1] / K[1, 1], s, atol=0.02)
+
+    imgs, deps, K3 = RandomCrop((48, 64))(imgs, deps, K2, rng)
+    assert imgs[0].shape[:2] == (48, 64)
+    assert K3[0, 2] <= K2[0, 2]
+
+    imgs, deps, K4 = RandomHorizontalFlip(prob=1.1)(imgs, deps, K3, rng)
+    np.testing.assert_allclose(K4[0, 2], 64 - 1 - K3[0, 2])
+
+
+def test_pad_and_collate():
+    a = np.ones((60, 90, 3), np.float32)
+    p = pad_to_multiple(a, 32)
+    assert p.shape == (64, 96, 3)
+    np.testing.assert_allclose(p[59:, 89:], 1.0)  # replicate padding
+    batch = collate(
+        [{"ref": a, "intrinsics": np.eye(3, dtype=np.float32)}] * 3,
+        pad_multiple=32,
+    )
+    assert batch["ref"].shape == (3, 64, 96, 3)
+    assert batch["intrinsics"].shape == (3, 3, 3)
+
+
+def test_batch_loader(kitti_vo_root):
+    tf = Compose([CenterCrop((48, 80)), Normalize()])
+    ds = KittiVODataset(kitti_vo_root, train=False, transform=tf)
+    loader = BatchLoader(ds, batch_size=4, workers=2, pad_multiple=16,
+                         shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["ref"].shape == (4, 48, 80, 3)
+    assert batches[0]["pose_gt"].shape == (4, 3, 4)
+    # sharded loader covers half the data
+    half = BatchLoader(ds, batch_size=2, workers=1, pad_multiple=16,
+                       shard_id=0, num_shards=2)
+    assert len(list(half)) == 2
+
+
+def test_velodyne_projection():
+    # one velodyne point 10 m ahead (velo x-forward) -> principal point
+    P = np.array([[70.0, 0, 48, 0], [0, 70.0, 32, 0], [0, 0, 1, 0]])
+    R = np.eye(4)
+    # standard velo->cam axis permutation: cam (x,y,z) = (-velo_y, -velo_z, velo_x)
+    T = np.array(
+        [[0.0, -1.0, 0.0, 0.0],
+         [0.0, 0.0, -1.0, 0.0],
+         [1.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0]],
+    )
+    pts = np.array([[10.0, 0.0, 0.0, 1.0]])
+    depth = project_depth(pts, P, R, T, (64, 96))
+    ys, xs = np.nonzero(depth)
+    assert len(ys) == 1
+    # principal point (48, 32) with the reference's -1 rounding offset
+    assert abs(int(xs[0]) - 47) <= 1 and abs(int(ys[0]) - 31) <= 1
+    np.testing.assert_allclose(depth[ys[0], xs[0]], 10.0)
