@@ -259,20 +259,31 @@ class RAFT(nn.Module):
 
         iters = cfg.raft_iters_train if train else cfg.raft_iters_eval
 
-        coords1 = coords0
-        flows = []
-        for _ in range(iters):
+        # the recurrence runs under nn.scan so the update block is traced
+        # and compiled ONCE (the reference unrolls a python loop,
+        # raft.py:131-148 — an unrolled graph is 12-24x slower to compile
+        # for zero runtime benefit under XLA)
+        def step(update_mod, carry, _):
+            net, coords1 = carry
             corr = lookup_correlation(
                 pyramid, coords1, cfg.raft_corr_radius
             ).astype(d)
             flow = (coords1 - coords0).astype(d)
-            net, mask, dflow = update(net, inp, corr, flow)
+            net, mask, dflow = update_mod(net, inp, corr, flow)
             coords1 = coords1 + dflow.astype(jnp.float32)
             flow_up = convex_upsample(
                 (coords1 - coords0), mask.astype(jnp.float32)
             )
-            flows.append(flow_up)
+            return (net, coords1), flow_up
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )
+        (_, _), flows = scan(update, (net, coords0), None)
 
         if all_iters:
-            return jnp.stack(flows, axis=0), None
+            return flows, None  # (iters, B, H, W, 2)
         return flows[-1], None

@@ -56,6 +56,10 @@ class SFMNet(nn.Module):
             from deep_sfm_revisited_tpu.models.dicl import DICLFlow
 
             self.flow_net = DICLFlow(cfg.flow, dtype=self.dtype)
+        elif cfg.flow.estimator == "PWC":
+            from deep_sfm_revisited_tpu.models.pwcnet import PWCDCNet
+
+            self.flow_net = PWCDCNet(cfg.flow, dtype=self.dtype)
         else:
             raise NotImplementedError(cfg.flow.estimator)
 

@@ -93,12 +93,20 @@ def eigh3x3(S: jnp.ndarray, sweeps: int = 8):
             app = A[..., p, p]
             aqq = A[..., q, q]
             apq = A[..., p, q]
-            # Jacobi rotation zeroing A[p, q]
-            nonzero = jnp.abs(apq) > 1e-300
+            # Jacobi rotation zeroing A[p, q].
+            # TPU's emulated f64 is a float pair with float32 exponent
+            # range: constants below ~1e-38 flush to zero and
+            # sqrt(inf) == NaN, so (a) the zero threshold must be
+            # representable and (b) sqrt(1 + tau^2) must never overflow —
+            # for large |tau| use the asymptotic t = 1/(2 tau) instead.
+            nonzero = jnp.abs(apq) > 1e-30
             tau = (aqq - app) / (2.0 * jnp.where(nonzero, apq, 1.0))
-            t = jnp.where(tau >= 0, 1.0, -1.0) / (
-                jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)
+            big = jnp.abs(tau) > 1e8
+            tau_safe = jnp.where(big, 1.0, tau)
+            t_small = jnp.where(tau_safe >= 0, 1.0, -1.0) / (
+                jnp.abs(tau_safe) + jnp.sqrt(1.0 + tau_safe * tau_safe)
             )
+            t = jnp.where(big, 1.0 / (2.0 * jnp.where(big, tau, 1.0)), t_small)
             c = 1.0 / jnp.sqrt(1.0 + t * t)
             s = t * c
             c = jnp.where(nonzero, c, 1.0)

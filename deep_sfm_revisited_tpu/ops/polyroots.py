@@ -57,7 +57,7 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
     dtype = coeffs.dtype
     # scale-normalize for conditioning (ref normalizes too, sturm.cu:570-587)
     scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True)
-    coeffs = coeffs / jnp.maximum(scale, 1e-300)
+    coeffs = coeffs / jnp.maximum(scale, 1e-30)  # 1e-300 flushes to 0 on TPU f64
 
     half_pi = jnp.asarray(jnp.pi / 2, dtype)
     eps = jnp.asarray(1e-7, dtype)
@@ -107,7 +107,7 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
     for _ in range(_NEWTON_ITERS):
         p = horner(coeffs, roots)
         dp = horner(dcoeffs, roots)
-        step = p / jnp.where(jnp.abs(dp) > 1e-300, dp, 1.0)
+        step = p / jnp.where(jnp.abs(dp) > 1e-30, dp, 1.0)
         # only take well-behaved steps (stay inside the bracket scale)
         ok = jnp.abs(step) < (jnp.abs(roots) + 1.0)
         roots = roots - jnp.where(ok, step, 0.0)

@@ -61,7 +61,7 @@ def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
     Gauss-Newton essential polish, ops/essential.py).
     """
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2 + 1e-32)
+    theta = jnp.sqrt(theta2 + 1e-30)
     # sin(t)/t and (1-cos t)/t^2 with series fallback near 0
     small = theta2 < 1e-12
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)

@@ -1,0 +1,104 @@
+"""Checkpointing with partial (sub-tree) restore.
+
+Rebuild of `save_checkpoint` (`main.py:772-775`: per-epoch
+checkpoint{epoch} + model_best copy) and the reference's strict=False
+partial state loading with key-rewrite shims for flow-only / depth-only
+checkpoints (`main.py:200-242`). Orbax handles the pytree serialization;
+partial restore merges a stored sub-tree (e.g. only `flow_net`) into an
+existing params tree — the TPU equivalent of `load_state_dict(...,
+strict=False)`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _mgr(directory: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=5, create=True),
+    )
+
+
+def save_checkpoint(
+    directory: str,
+    state: Any,
+    epoch: int,
+    is_best: bool = False,
+) -> None:
+    """Write {params, batch_stats, opt_state, step} for an epoch; mirror
+    to `model_best/` when best (≙ main.py:772-775)."""
+    mgr = _mgr(directory)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    mgr.save(epoch, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    if is_best:
+        best = os.path.join(directory, "model_best")
+        src = os.path.join(directory, str(epoch))
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(src, best)
+
+
+def restore_checkpoint(
+    directory: str,
+    state: Any,
+    epoch: Optional[int] = None,
+) -> Any:
+    """Restore a full TrainState (latest epoch by default)."""
+    mgr = _mgr(directory)
+    epoch = epoch if epoch is not None else mgr.latest_step()
+    if epoch is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(target))
+    return state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+
+
+def restore_subtree(
+    directory: str,
+    state: Any,
+    subtree: str,
+    epoch: Optional[int] = None,
+) -> Any:
+    """Merge one stored params sub-tree (e.g. 'flow_net' or 'depth_net')
+    into `state`, leaving everything else untouched — the partial-load
+    path of `--pretrained-flow` / `--pretrained-depth`
+    (≙ main.py:222-242, incl. its prefix-stripping shim)."""
+    mgr = _mgr(directory)
+    epoch = epoch if epoch is not None else mgr.latest_step()
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(target))
+    params = dict(state.params)
+    params[subtree] = restored["params"][subtree]
+    stats = dict(state.batch_stats)
+    if subtree in restored["batch_stats"]:
+        stats[subtree] = restored["batch_stats"][subtree]
+    return state.replace(params=type(state.params)(params),
+                         batch_stats=type(state.batch_stats)(stats))

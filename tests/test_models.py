@@ -120,3 +120,36 @@ def test_sfmnet_gt_pose_path():
     out = m.apply(params, ref, target, K, pose_gt=pose_gt, use_gt_pose=True)
     assert out["depth"].shape == (b, h, w)
     np.testing.assert_allclose(out["pose"], pose_gt, atol=1e-6)
+
+
+def test_dicl_forward():
+    from deep_sfm_revisited_tpu.models.dicl import DICLFlow
+
+    cfg = FlowConfig(estimator="DICL")
+    m = DICLFlow(cfg)
+    b, h, w = 1, 128, 128  # H, W % 128 == 0 (the reference pads to /128)
+    pair = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 6), F32, -1, 1)
+    params = m.init(jax.random.PRNGKey(1), pair)
+    flow, conf = m.apply(params, pair)
+    assert flow.shape == (b, h, w, 2)
+    assert conf.shape == (b, h, w, 1)
+    assert bool(jnp.all(jnp.isfinite(flow)))
+    # training stack: 5 levels x2 (raw + context) with SUP_RAW_FLOW
+    stack, _ = m.apply(params, pair, train=True, all_iters=True,
+                       mutable=["batch_stats"])[0]
+    assert stack.shape[0] == 10
+    assert stack.shape[1:] == (b, h, w, 2)
+
+
+def test_sfmnet_with_dicl():
+    cfg = tiny_sfm_config().override(**{"flow.estimator": "DICL"})
+    m = SFMNet(cfg)
+    b, h, w = 1, 128, 128
+    ref = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3), F32, -1, 1)
+    target = jnp.roll(ref, 2, axis=2)
+    K = small_K(b, h, w)
+    k = jax.random.PRNGKey(2)
+    params = m.init(jax.random.PRNGKey(1), ref, target, K, key=k)
+    out = m.apply(params, ref, target, K, key=k)
+    assert out["depth"].shape == (b, h, w)
+    assert bool(jnp.all(jnp.isfinite(out["depth"])))

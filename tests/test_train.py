@@ -1,0 +1,177 @@
+"""Tests for losses, metrics, odometry, trainer step, checkpointing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_sfm_revisited_tpu.train import (
+    depth_training_loss,
+    flow_epe,
+    flow_sequence_loss,
+    pose_regression_loss,
+)
+from deep_sfm_revisited_tpu.train.metrics import (
+    depth_metrics,
+    eigen_crop_mask,
+    evaluate_depth,
+    median_scale_align,
+    motion_errors,
+)
+from deep_sfm_revisited_tpu.train.odometry import (
+    ate_rmse,
+    chain_poses,
+    rpe,
+)
+from deep_sfm_revisited_tpu.ops import rotations as rot
+
+F32 = jnp.float32
+
+
+def test_depth_loss_perfect_prediction_zero():
+    key = jax.random.PRNGKey(0)
+    gt = 2.0 + 10.0 * jax.random.uniform(key, (2, 16, 24))
+    pose = jnp.concatenate(
+        [jnp.eye(3), jnp.array([[0.0], [0.0], [0.6]])], axis=1
+    )[None].repeat(2, 0)
+    # prediction in NORM_TARGET scale: gt / (|t|/0.6) = gt
+    loss, aux = depth_training_loss(gt, gt, gt, pose, nlabel=64,
+                                    min_depth=1.0, norm_target=0.6)
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+    assert float(aux["valid_frac"]) == 1.0
+
+
+def test_depth_loss_scale_window_drops_frames():
+    gt = jnp.full((2, 8, 8), 5.0)
+    # frame 0 has |t| below MIN_TRAIN_SCALE -> excluded
+    pose = jnp.stack([
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [0.1]])], 1),
+        jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [0.6]])], 1),
+    ])
+    bad = jnp.stack([jnp.full((8, 8), 50.0), gt[1]])
+    loss, _ = depth_training_loss(bad, bad, gt, pose, 64, 1.0)
+    # only frame 1 (perfect) contributes
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+
+def test_flow_losses():
+    gt = jnp.ones((1, 16, 16, 2))
+    pred = jnp.ones((3, 1, 16, 16, 2)) * jnp.array([0.0, 0.5, 1.0])[:, None, None, None, None]
+    l = flow_sequence_loss(pred, gt)
+    assert float(l) > 0
+    assert float(flow_epe(pred[2], gt)) == 0.0
+    assert abs(float(flow_epe(pred[0], gt)) - np.sqrt(2)) < 1e-5
+
+
+def test_pose_regression_loss():
+    pose = rot.rt_to_pose(jnp.array([[0.1, -0.05, 0.02, 0.3, 0.0, 0.9]]))
+    rt = jnp.array([[0.1, -0.05, 0.02, 0.3, 0.0, 0.9]])
+    t = rt[:, 3:] / jnp.linalg.norm(rt[:, 3:])
+    perfect = jnp.concatenate([rt[:, :3], t], axis=-1)
+    np.testing.assert_allclose(float(pose_regression_loss(perfect, pose)), 0.0,
+                               atol=1e-10)
+
+
+def test_eigen_protocol_metrics():
+    key = jax.random.PRNGKey(1)
+    gt = 1.0 + 60.0 * jax.random.uniform(key, (1, 64, 96))
+    # perfect prediction at half scale -> median alignment fixes it
+    res = evaluate_depth(gt * 0.5, gt, nlabel=128, min_depth=1.0)
+    assert float(res["abs_rel"]) < 1e-5
+    assert float(res["a1"]) == 1.0
+    # crop: corners excluded
+    mask = eigen_crop_mask(gt)
+    assert not bool(mask[0, 0, 0])
+    assert bool(mask[0, 40, 48])
+
+
+def test_median_scale_align():
+    pred = jnp.full((1, 8, 8), 2.0)
+    gt = jnp.full((1, 8, 8), 6.0)
+    mask = jnp.ones((1, 8, 8), bool)
+    out = median_scale_align(pred, gt, mask)
+    np.testing.assert_allclose(out, 6.0, atol=1e-6)
+
+
+def test_motion_errors():
+    p = rot.rt_to_pose(jnp.array([0.1, 0.0, 0.0, 1.0, 0.0, 0.0]))
+    r_err, t_dist, t_ang = motion_errors(p, p)
+    np.testing.assert_allclose(float(r_err), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(t_ang), 0.0, atol=1e-3)
+    q = rot.rt_to_pose(jnp.array([0.2, 0.0, 0.0, 0.0, 1.0, 0.0]))
+    r_err, t_dist, t_ang = motion_errors(p, q)
+    np.testing.assert_allclose(float(r_err), 0.1, atol=1e-6)
+    np.testing.assert_allclose(float(t_ang), np.pi / 2, atol=1e-5)
+
+
+def test_chain_poses_straight_line():
+    step = jnp.concatenate(
+        [jnp.eye(3), jnp.array([[0.0], [0.0], [1.0]])], axis=1
+    )[None].repeat(5, 0)
+    traj = chain_poses(step)
+    assert traj.shape == (6, 4, 4)
+    np.testing.assert_allclose(traj[:, 2, 3], np.arange(6.0), atol=1e-6)
+    assert ate_rmse(traj, traj) < 1e-9
+    t_err, r_err = rpe(traj, traj)
+    assert t_err < 1e-9 and r_err < 1e-6
+
+
+def test_ate_alignment_handles_scale():
+    step = jnp.concatenate(
+        [jnp.eye(3), jnp.array([[0.0], [0.0], [1.0]])], axis=1
+    )[None].repeat(10, 0)
+    gt = chain_poses(step)
+    est = chain_poses(step * jnp.array([1, 1, 1, 0.5])[None, None])
+    assert ate_rmse(est, gt, align=True) < 1e-6  # scale aligned away
+
+
+def test_train_step_descends_and_freezes_flow():
+    from deep_sfm_revisited_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+    import __graft_entry__ as g
+
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64)
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(2, 64, 96),
+        steps_per_epoch=10,
+    )
+    step = make_train_step(model, cfg)
+    batch = g._batch(2, 64, 96)
+    p0_flow = jax.tree_util.tree_leaves(state.params["flow_net"])[0]
+    p0_depth = jax.tree_util.tree_leaves(state.params["depth_net"])[0]
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # flow net frozen (fix_flownet default True in tiny cfg? ensure)
+    if cfg.train.fix_flownet:
+        np.testing.assert_array_equal(
+            jax.tree_util.tree_leaves(state2.params["flow_net"])[0], p0_flow
+        )
+    # depth net updated
+    assert not np.array_equal(
+        jax.tree_util.tree_leaves(state2.params["depth_net"])[0], p0_depth
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from deep_sfm_revisited_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from deep_sfm_revisited_tpu.train.trainer import create_train_state
+    import __graft_entry__ as g
+
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64)
+    _, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 96),
+        steps_per_epoch=10,
+    )
+    save_checkpoint(str(tmp_path / "ckpt"), state, epoch=0, is_best=True)
+    zeroed = state.replace(
+        params=jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    )
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), zeroed)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(a, b)
