@@ -85,7 +85,15 @@ def project_depth(
 
 
 def generate_depth_map(calib_dir: str, velo_path: str, shape: Tuple[int, int]):
-    """Full pipeline for one frame (≙ `generate_depth_map`, kitti_utils.py:44)."""
+    """Full pipeline for one frame (≙ `generate_depth_map`, kitti_utils.py:44).
+
+    Routes through the C++ kernel (data/native.py) when built; numpy
+    otherwise.
+    """
     P, R, T = velo_to_cam_transform(calib_dir)
     pts = load_velodyne_points(velo_path)
+    from deep_sfm_revisited_tpu.data import native
+
+    if native.available():
+        return native.velodyne_project_depth(pts, P @ R @ T, shape)
     return project_depth(pts, P, R, T, shape)

@@ -73,6 +73,26 @@ class SFMNet(nn.Module):
                 dtype=self.dtype,
                 cost_sharding=self.cost_sharding,
             )
+        elif cfg.depth.estimator == "PANET":
+            from deep_sfm_revisited_tpu.models.depth_alternates import PANet
+
+            self.depth_net = PANet(cfg.depth, dtype=self.dtype)
+        elif cfg.depth.estimator == "REGNET":
+            from deep_sfm_revisited_tpu.models.depth_alternates import REGNet
+
+            self.depth_net = REGNet(cfg.depth, dtype=self.dtype)
+        elif cfg.depth.estimator == "REG2D":
+            from deep_sfm_revisited_tpu.models.depth_alternates import REG2D
+
+            self.depth_net = REG2D(cfg.depth, dtype=self.dtype)
+        elif cfg.depth.estimator == "DISPNET":
+            from deep_sfm_revisited_tpu.models.depth_alternates import DISPNET
+
+            self.depth_net = DISPNET(cfg.depth, dtype=self.dtype)
+        elif cfg.depth.estimator == "CVP":
+            from deep_sfm_revisited_tpu.models.cvpmvs import CVPMVS
+
+            self.depth_net = CVPMVS(cfg.depth, dtype=self.dtype)
         else:
             raise NotImplementedError(cfg.depth.estimator)
 

@@ -100,24 +100,43 @@ class BasicBlock(nn.Module):
         return out + x
 
 
+def _interp_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """Dense 1-D align_corners=True interpolation matrix (n_out, n_in)."""
+    import numpy as np
+
+    if n_in == 1:
+        return jnp.ones((n_out, 1), jnp.float32)
+    pos = np.linspace(0.0, n_in - 1.0, n_out)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = pos - lo
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), lo] += 1.0 - frac
+    M[np.arange(n_out), hi] += frac
+    return jnp.asarray(M)
+
+
 def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """align_corners=True bilinear resize of (B, H, W, C).
 
     torch `F.interpolate(..., align_corners=True)` maps output corner
-    pixels to input corner pixels; jax.image.resize uses half-pixel
-    centers, so implement via `bilinear_sample` on the corner-aligned grid.
+    pixels to input corner pixels. Implemented as two separable
+    interpolation matmuls (out = A_y x A_x^T per channel) so the work
+    lands on the MXU — the naive per-pixel gather formulation is orders
+    of magnitude slower on TPU (measured ~3 s for PSNet's 128-plane
+    cost-volume upsample vs ~milliseconds as matmuls).
     """
-    from deep_sfm_revisited_tpu.ops.camera import bilinear_sample
-
     B, H, W, C = x.shape
     h, w = hw
     if (h, w) == (H, W):
         return x
-    ys = jnp.linspace(0.0, H - 1.0, h, dtype=jnp.float32)
-    xs = jnp.linspace(0.0, W - 1.0, w, dtype=jnp.float32)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    coords = jnp.broadcast_to(jnp.stack([gx, gy], axis=-1)[None], (B, h, w, 2))
-    return bilinear_sample(x, coords)
+    Ay = _interp_matrix(h, H).astype(x.dtype)
+    Ax = _interp_matrix(w, W).astype(x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", Ay, x,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,bowc->bopc", Ax, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 class SPPFeatureExtractor(nn.Module):
@@ -157,8 +176,11 @@ class SPPFeatureExtractor(nn.Module):
         H, W = skip.shape[1], skip.shape[2]
         branches = []
         for pool in (32, 16, 8, 4):
-            # plain non-overlapping pooling as in the reference (AvgPool2d(pool))
-            b = nn.avg_pool(skip, (pool, pool), strides=(pool, pool))
+            # plain non-overlapping pooling as in the reference
+            # (AvgPool2d(pool)); clamped so sub-pool-size feature maps
+            # (tiny inputs) degrade to global pooling instead of 0-size
+            p = (min(pool, H), min(pool, W))
+            b = nn.avg_pool(skip, p, strides=p)
             b = nn.relu(ConvBN(32, 1, 1, 1, d)(b, train))
             branches.append(resize_bilinear(b, (H, W)))
 

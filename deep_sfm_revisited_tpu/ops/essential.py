@@ -600,3 +600,92 @@ def ransac_pose_batch(x1, x2, keys, **kw):
     else:  # legacy uint32 (2,) keys
         key = keys if keys.ndim == 1 else keys.reshape(-1, 2)[0]
     return ransac_pose(x1, x2, key, **kw)
+
+
+# ---------------------------------------------------------------------------
+# differentiable (bilevel) refinement — implicit-function gradients
+# ---------------------------------------------------------------------------
+
+
+def _theta_cost(theta, U, V, q1, q2, weights, huber_delta):
+    """Huber-robust Sampson cost of E(U exp(w_u), V exp(w_v))."""
+    D = jnp.asarray(np.diag([1.0, 1.0, 0.0]), theta.dtype)
+    Uu = U @ exp_so3(theta[:3])
+    Vv = V @ exp_so3(theta[3:])
+    r = _signed_sampson(Uu @ D @ Vv.T, q1, q2)
+    return jnp.sum(weights * _huber(r, huber_delta))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _make_refine(iters: int, huber_delta: float):
+    @jax.custom_vjp
+    def refine(E0, x1, x2, weights):
+        return polish_essential(E0, x1, x2, weights=weights, iters=iters,
+                                huber_delta=huber_delta)
+
+    def fwd(E0, x1, x2, weights):
+        E = refine(E0, x1, x2, weights)
+        return E, (E, x1, x2, weights)
+
+    def bwd(res, gE):
+        E, x1, x2, weights = res
+        dtype = E.dtype
+        ones = jnp.ones_like(x1[..., :1])
+        q1 = jnp.concatenate([x1, ones], axis=-1)
+        q2 = jnp.concatenate([x2, ones], axis=-1)
+        U, V = _uv_from_essential(E)
+        theta0 = jnp.zeros(6, dtype)
+
+        # cotangent on E -> cotangent on theta via dE/dtheta at theta*=0
+        D = jnp.asarray(np.diag([1.0, 1.0, 0.0]), dtype)
+
+        def e_of(theta):
+            # normalized like the forward output (U D V^T has norm sqrt(2))
+            e = (U @ exp_so3(theta[:3])) @ D @ (V @ exp_so3(theta[3:])).T
+            return e / jnp.linalg.norm(e)
+
+        dE_dtheta = jax.jacfwd(e_of)(theta0)  # (3, 3, 6)
+        theta_bar = jnp.einsum("ij,ijk->k", gE, dE_dtheta)
+
+        # H lambda = theta_bar ; x_bar = -(d g / d x)^T lambda
+        grad_theta = jax.grad(_theta_cost, argnums=0)
+        H = jax.jacfwd(grad_theta)(theta0, U, V, q1, q2, weights, huber_delta)
+        H = H + 1e-8 * jnp.eye(6, dtype=dtype)
+        lam = gauss_solve(H, theta_bar[:, None])[:, 0]
+
+        def g_of_points(x1_, x2_, w_):
+            o = jnp.ones_like(x1_[..., :1])
+            qq1 = jnp.concatenate([x1_, o], axis=-1)
+            qq2 = jnp.concatenate([x2_, o], axis=-1)
+            return grad_theta(theta0, U, V, qq1, qq2, w_, huber_delta)
+
+        _, vjp = jax.vjp(g_of_points, x1, x2, weights)
+        gx1, gx2, gw = vjp(-lam)
+        return jnp.zeros_like(E), gx1, gx2, gw
+
+    refine.defvjp(fwd, bwd)
+    return refine
+
+
+def refine_essential_implicit(E0, x1, x2, weights, iters: int = 10,
+                              huber_delta: float = 1e-3):
+    """Differentiable robust E refinement with implicit gradients.
+
+    Forward: the IRLS Gauss-Newton polish (`polish_essential`). Backward:
+    instead of unrolling the solver, gradients flow through the optimum by
+    the implicit function theorem — at the minimum theta* the stationarity
+    g(theta*, points) = d cost / d theta = 0 defines theta*(points), so
+    d theta*/d points = -H^-1 dg/d points with H the 6x6 cost Hessian.
+
+    This is the TPU-native equivalent of the reference's hand-derived
+    bilevel machinery (`double_derivative` `epipolar_utils.py:140-151`,
+    `analytical_gradient` `:296-357` — defined there but never wired into
+    the default path); JAX's jacfwd/grad compositions replace the manual
+    second-derivative algebra. Unlike `polish_essential` (which callers
+    stop-gradient), this layer lets pose errors train the flow network
+    end-to-end through the RANSAC refinement.
+    """
+    return _make_refine(int(iters), float(huber_delta))(E0, x1, x2, weights)

@@ -61,11 +61,15 @@ def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
     Gauss-Newton essential polish, ops/essential.py).
     """
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2 + 1e-30)
-    # sin(t)/t and (1-cos t)/t^2 with series fallback near 0
+    # sin(t)/t and (1-cos t)/t^2 with series fallback near 0. The
+    # "double-where" guard keeps the *untaken* branch finite too —
+    # reverse-mode AD otherwise produces NaN cotangents at omega = 0
+    # (0/0 in the unselected branch poisons the chain rule).
     small = theta2 < 1e-12
+    safe2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe2)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
     K = skew(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -155,3 +156,101 @@ def multiscale_flow_loss(
         else:
             total = total + w_lvl * jnp.mean(l1)
     return total
+
+
+# ---------------------------------------------------------------------------
+# photometric / self-supervised flow losses (≙ loss_functions.py:65-155)
+# ---------------------------------------------------------------------------
+
+
+def charbonnier(x: jnp.ndarray, alpha: float = 0.45,
+                eps: float = 1e-3) -> jnp.ndarray:
+    """Generalized Charbonnier penalty (≙ loss_functions.py robust norm)."""
+    return (x * x + eps * eps) ** alpha
+
+
+def photometric_loss(
+    ref: jnp.ndarray,      # (B, H, W, 3)
+    target: jnp.ndarray,   # (B, H, W, 3)
+    flow: jnp.ndarray,     # (B, H, W, 2) ref->target
+    occlusion: Optional[jnp.ndarray] = None,  # (B, H, W) 1 = visible
+) -> jnp.ndarray:
+    """Charbonnier warp error of target warped back to ref
+    (≙ the photometric term, loss_functions.py:65-97)."""
+    from deep_sfm_revisited_tpu.models.dicl import warp_flow
+
+    warped = warp_flow(target, flow)
+    diff = jnp.sum(charbonnier(warped - ref), axis=-1)
+    if occlusion is None:
+        return jnp.mean(diff)
+    return _masked_mean(diff, occlusion > 0.5)
+
+
+def _census_transform(img: jnp.ndarray, patch: int = 7) -> jnp.ndarray:
+    """Ternary census descriptors (≙ the ternary census term,
+    loss_functions.py:99-155): normalized differences of each pixel to its
+    patch neighborhood over image intensity."""
+    gray = jnp.mean(img, axis=-1, keepdims=True) * 255.0
+    r = patch // 2
+    pad = jnp.pad(gray, ((0, 0), (r, r), (r, r), (0, 0)))
+    B, H, W, _ = img.shape
+    neighbors = []
+    for dy in range(patch):
+        for dx in range(patch):
+            neighbors.append(
+                jax.lax.dynamic_slice(pad, (0, dy, dx, 0), (B, H, W, 1))
+            )
+    n = jnp.concatenate(neighbors, axis=-1)
+    diff = n - gray
+    return diff / jnp.sqrt(0.81 + diff * diff)
+
+
+def census_loss(
+    ref: jnp.ndarray,
+    target: jnp.ndarray,
+    flow: jnp.ndarray,
+    occlusion: Optional[jnp.ndarray] = None,
+    patch: int = 7,
+) -> jnp.ndarray:
+    """Ternary census matching loss on warped descriptors."""
+    from deep_sfm_revisited_tpu.models.dicl import warp_flow
+
+    c_ref = _census_transform(ref, patch)
+    c_tgt = _census_transform(warp_flow(target, flow), patch)
+    d = c_ref - c_tgt
+    dist = jnp.sum(d * d / (0.1 + d * d), axis=-1)
+    if occlusion is None:
+        return jnp.mean(charbonnier(dist))
+    return _masked_mean(charbonnier(dist), occlusion > 0.5)
+
+
+def occlusion_mask_fb(
+    flow_fw: jnp.ndarray, flow_bw: jnp.ndarray, alpha1: float = 0.01,
+    alpha2: float = 0.5,
+) -> jnp.ndarray:
+    """Forward-backward consistency occlusion mask (1 = visible)."""
+    from deep_sfm_revisited_tpu.models.dicl import warp_flow
+
+    bw_warped = warp_flow(flow_bw, flow_fw)
+    fb = flow_fw + bw_warped
+    mag = jnp.sum(flow_fw**2, -1) + jnp.sum(bw_warped**2, -1)
+    occluded = jnp.sum(fb**2, -1) > alpha1 * mag + alpha2
+    return (~occluded).astype(flow_fw.dtype)
+
+
+def smoothness_loss_2nd(flow: jnp.ndarray, image: jnp.ndarray,
+                        edge_weight: float = 10.0) -> jnp.ndarray:
+    """Edge-aware second-order smoothness (≙ loss_functions.py:98-126)."""
+    def grad2(x, axis):
+        a = jnp.diff(x, n=2, axis=axis)
+        return a
+
+    gx_img = jnp.mean(jnp.abs(jnp.diff(image, axis=2)), axis=-1)
+    gy_img = jnp.mean(jnp.abs(jnp.diff(image, axis=1)), axis=-1)
+    wx = jnp.exp(-edge_weight * gx_img)[..., None]
+    wy = jnp.exp(-edge_weight * gy_img)[..., None]
+    fxx = grad2(flow, 2)
+    fyy = grad2(flow, 1)
+    lx = jnp.mean(wx[:, :, 1:] * charbonnier(fxx))
+    ly = jnp.mean(wy[:, 1:] * charbonnier(fyy))
+    return lx + ly

@@ -107,7 +107,10 @@ def create_train_state(
                     jnp.float32),
         (b, 3, 3),
     )
-    variables = model.init(rng, dummy, dummy, K, key=jax.random.PRNGKey(0))
+    # jitted init (one compiled program instead of op-by-op dispatch)
+    variables = jax.jit(
+        lambda d, k: model.init(rng, d, d, k, key=jax.random.PRNGKey(0))
+    )(dummy, K)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = build_optimizer(cfg, steps_per_epoch)

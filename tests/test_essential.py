@@ -159,3 +159,32 @@ def test_polish_improves_noisy_estimate():
     E0 = E0 / jnp.linalg.norm(E0)
     E_pol = ess.polish_essential(E0, x1, x2, iters=15, huber_delta=1e-2)
     assert e_distance(E_pol, E_true) < e_distance(E0, E_true) * 0.5
+
+
+def test_implicit_refinement_gradients_match_finite_differences():
+    """The bilevel implicit-diff layer (≙ analytical_gradient,
+    epipolar_utils.py:296-357) must produce true d(E*)/d(points)."""
+    x1, x2, R, t, E_true = make_scene(jax.random.PRNGKey(0), n_points=100,
+                                      noise=1e-3)
+    w = jnp.ones(100, F64)
+
+    def loss(x1):
+        E = ess.refine_essential_implicit(E_true, x1, x2, w, 30, 1e-2)
+        return jnp.sum(E**2 * jnp.arange(9.0).reshape(3, 3))
+
+    g = jax.grad(loss)(x1)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    eps = 1e-5
+    for i, j in ((7, 0), (23, 1)):
+        fd = (loss(x1.at[i, j].add(eps)) - loss(x1.at[i, j].add(-eps))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(float(g[i, j]), float(fd), rtol=2e-2)
+
+
+def test_exp_so3_reverse_grad_at_zero():
+    """Reverse-mode AD through exp_so3 at omega=0 (double-where guard)."""
+    g = jax.grad(lambda w: jnp.sum(rot.exp_so3(w) * jnp.arange(9.0).reshape(3, 3)))(
+        jnp.zeros(3, F64)
+    )
+    assert bool(jnp.all(jnp.isfinite(g)))
