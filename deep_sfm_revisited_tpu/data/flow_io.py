@@ -68,29 +68,30 @@ def write_pfm(path: str, data: np.ndarray, scale: float = 1.0) -> None:
 def read_flow_kitti(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """KITTI 16-bit png flow -> (flow (H, W, 2), valid (H, W)).
 
-    Encoding: (u, v) = (png[..., 2:0:-1] - 2^15) / 64, valid = channel 0
-    (≙ `load_flow_from_png`, KITTI_loader.py:20-30, BGR-read variant).
+    KITTI stores RGB16 = (u, v, valid) with (u, v) = (raw - 2^15) / 64;
+    read with cv2 unchanged-depth BGR and reorder, exactly as
+    `load_flow_from_png` (KITTI_loader.py:20-30).
     """
-    from imageio.v2 import imread
+    import cv2
 
-    raw = np.asarray(imread(path), np.float64)  # RGB uint16: (u, v, valid)
-    flow = (raw[..., :2] - 2**15) / 64.0
-    valid = raw[..., 2] > 0
+    raw = cv2.imread(path, -1).astype(np.float64)  # BGR16: (valid, v, u)
+    flow = (raw[..., 2:0:-1] - 2**15) / 64.0
+    valid = raw[..., 0] > 0
     flow[~valid] = 0.0
     return flow.astype(np.float32), valid
 
 
 def write_flow_kitti(path: str, flow: np.ndarray,
                      valid: Optional[np.ndarray] = None) -> None:
-    from imageio.v2 import imwrite
+    import cv2
 
     h, w = flow.shape[:2]
-    out = np.zeros((h, w, 3), np.uint16)
-    out[..., :2] = np.clip(flow * 64.0 + 2**15, 0, 2**16 - 1).astype(
-        np.uint16
-    )
-    out[..., 2] = 1 if valid is None else valid.astype(np.uint16)
-    imwrite(path, out, format="PNG-FI" if path.endswith(".png") else None)
+    out = np.zeros((h, w, 3), np.uint16)  # BGR: (valid, v, u)
+    enc = np.clip(flow * 64.0 + 2**15, 0, 2**16 - 1).astype(np.uint16)
+    out[..., 2] = enc[..., 0]
+    out[..., 1] = enc[..., 1]
+    out[..., 0] = 1 if valid is None else valid.astype(np.uint16)
+    cv2.imwrite(path, out)
 
 
 def read_disp_kitti(path: str) -> np.ndarray:

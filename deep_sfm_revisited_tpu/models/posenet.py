@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -76,3 +77,134 @@ class _SharedEncoder(nn.Module):
                             (128, 3, 1), (128, 3, 1), (64, 3, 1)):
             x = _ConvBNRelu(feats, k, s, self.dtype)(x, train)
         return x
+
+
+class _Bottleneck(nn.Module):
+    """torchvision-style bottleneck (ref `Bottleneck`, PoseNet.py:123-170)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        out_ch = self.planes * 4
+
+        def bn(v):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                dtype=d)(v)
+
+        y = nn.relu(bn(nn.Conv(self.planes, (1, 1), use_bias=False,
+                               dtype=d)(x)))
+        y = nn.relu(bn(nn.Conv(self.planes, (3, 3),
+                               strides=(self.stride,) * 2, padding=1,
+                               use_bias=False, dtype=d)(y)))
+        y = bn(nn.Conv(out_ch, (1, 1), use_bias=False, dtype=d)(y))
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            x = bn(nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
+                           use_bias=False, dtype=d)(x))
+        return nn.relu(x + y)
+
+
+class MotionNet(nn.Module):
+    """Stride-2 conv pyramid + linear head -> 6-DoF
+    (ref `MotionNet`, PoseNet.py:348+)."""
+
+    conv_sizes: tuple = (64, 128, 256, 512, 512)
+    lin_sizes: tuple = (512, 256, 256)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        for c in self.conv_sizes:
+            x = nn.leaky_relu(
+                nn.Conv(c, (3, 3), strides=(2, 2), padding=1, dtype=d)(x), 0.1
+            )
+            x = nn.leaky_relu(
+                nn.Conv(c, (3, 3), strides=(2, 2), padding=1, dtype=d)(x), 0.1
+            )
+        x = jnp.mean(x, axis=(1, 2))  # global pool (adaptive to input size)
+        for c in self.lin_sizes:
+            x = nn.leaky_relu(nn.Dense(c, dtype=d)(x), 0.1)
+        return nn.Dense(6, dtype=d)(x)
+
+
+class ResNetPose(nn.Module):
+    """Deeper pose regressor: shared bottleneck-ResNet stem over each
+    frame, dense fusion block, MotionNet head (ref `ResNet` with
+    Bottleneck [3, 4, 6, 3], `models/PoseNet.py:172-345`, selected by
+    POSE_NET_TYPE='res'). Returns (B, 6) = (rot3, unit trans3)."""
+
+    down_feat: int = 128  # ref POSE_DOWN_FEAT (lib/config.py:60)
+    use_flow: bool = False   # ref POSENET_FLOW
+    use_conf: bool = False   # ref POSENET_ENTRO
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, ref, target, conf=None, train: bool = False):
+        d = self.dtype
+        flow = jax.lax.stop_gradient(flow)
+
+        stem = _ResNetStem(dtype=d, name="stem")
+        x1 = stem(ref, train)
+        y1 = stem(target, train)
+        x = jnp.concatenate([x1, y1], axis=-1)  # 512 ch at 1/8
+
+        x = nn.leaky_relu(
+            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=d)(
+                nn.Conv(self.down_feat, (3, 3), padding=1, use_bias=False,
+                        dtype=d)(x)
+            ),
+            0.1,
+        )
+        if self.use_flow:
+            x = jnp.concatenate(
+                [x, resize_bilinear(flow.astype(d), x.shape[1:3])], axis=-1
+            )
+        if self.use_conf and conf is not None:
+            x = jnp.concatenate(
+                [x, resize_bilinear(conf.astype(d), x.shape[1:3])], axis=-1
+            )
+        # DenseNet fusion (ref conv3_0..conv3_4)
+        for c in (128, 96, 64, 32, 32):
+            y = nn.leaky_relu(
+                nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=d)(
+                    nn.Conv(c, (3, 3), padding=1, use_bias=False, dtype=d)(x)
+                ),
+                0.1,
+            )
+            x = jnp.concatenate([y, x], axis=-1)
+
+        pose = MotionNet(dtype=d)(x).astype(jnp.float32) * 0.01
+        t = pose[:, 3:]
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        return jnp.concatenate([pose[:, :3], t], axis=-1)
+
+
+class _ResNetStem(nn.Module):
+    """conv7/2 + maxpool/2 + layer1 (3x bottleneck-64) + layer2
+    (4x bottleneck-64, stride 2) — the layers the reference forward
+    actually uses (`models/PoseNet.py:269-280`)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, train: bool = False):
+        d = self.dtype
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=d)(img.astype(d))
+        x = nn.relu(
+            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=d)(x)
+        )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for _ in range(3):
+            x = _Bottleneck(64, 1, d)(x, train)
+        x = _Bottleneck(64, 2, d)(x, train)
+        for _ in range(3):
+            x = _Bottleneck(64, 1, d)(x, train)
+        return x  # 256 ch at 1/8

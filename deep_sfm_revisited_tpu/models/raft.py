@@ -99,7 +99,12 @@ def correlation_pyramid(f1: jnp.ndarray, f2: jnp.ndarray, levels: int):
     B, H, W, C = f1.shape
     a = f1.reshape(B, H * W, C)
     b = f2.reshape(B, H * W, C)
-    corr = jnp.einsum("bnc,bmc->bnm", a, b) / jnp.sqrt(jnp.asarray(C, f1.dtype))
+    # bf16 operands + f32 accumulation: the all-pairs product is the
+    # single largest matmul in the pipeline (HW^2 C ~ 30 TFLOP at KITTI
+    # eval size) and runs 4x faster on the MXU in bf16
+    corr = jnp.einsum("bnc,bmc->bnm", a, b,
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.asarray(C, jnp.float32))
     corr = corr.reshape(B * H * W, H, W, 1)
     pyramid = [corr]
     for _ in range(levels - 1):
@@ -264,10 +269,7 @@ class RAFT(nn.Module):
             jnp.concatenate([ref, tgt], axis=0), train
         )
         f1, f2 = fmaps[:B], fmaps[B:]
-        pyramid = correlation_pyramid(
-            f1.astype(jnp.float32), f2.astype(jnp.float32),
-            cfg.raft_corr_levels,
-        )
+        pyramid = correlation_pyramid(f1, f2, cfg.raft_corr_levels)
 
         cmap = BasicEncoder(cfg.raft_hidden_dim + cfg.raft_context_dim,
                             "batch", d, name="cnet")(ref, train)

@@ -1,0 +1,59 @@
+"""Multi-host initialization and cross-host array assembly.
+
+No reference counterpart (the reference is strictly single-process,
+SURVEY.md §2.7); this is the TPU-native scale-out path: one python
+process per host, `jax.distributed.initialize` over DCN, a global mesh
+spanning every chip, per-host data loading (data/loader.py shard_id /
+num_shards) assembled into global arrays with
+`jax.make_array_from_process_local_data`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the multi-host job (env-driven on TPU pods; explicit args for
+    manual setups). Safe to call single-host (no-op)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-host / unmanaged environment
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def host_shard_info() -> Dict[str, int]:
+    """(shard_id, num_shards) for the data loader on this host."""
+    return {
+        "shard_id": jax.process_index(),
+        "num_shards": jax.process_count(),
+    }
+
+
+def global_batch(local_batch: Dict[str, np.ndarray], mesh: Mesh):
+    """Assemble per-host numpy batches into mesh-global jax.Arrays.
+
+    The leading (batch) axis is sharded over the mesh's first axis; each
+    host contributes its local slice (the standard
+    make_array_from_process_local_data flow).
+    """
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in local_batch.items()
+    }

@@ -1,0 +1,97 @@
+"""Pose recording and sequence-pose saving.
+
+Rebuild of the reference pose workload paths:
+  * `record_pose_errors` ≙ the RECORD_POSE branch of `validate`
+    (`main.py:504-530`): run the model's early-return pose path on every
+    pair and accumulate DeMoN motion errors vs GT, forward and backward;
+  * `save_sequence_poses` ≙ `save_pose` (`main.py:636-703`): run forward
+    and backward per pair and persist per-frame [pose_fw; pose_bw] .npy
+    stacks (consumed as pre-computed training poses,
+    `KITTI_loader.py:361`, and chained into trajectories for
+    odometry evaluation with train/odometry.py instead of the external
+    kitti-odom-eval toolbox).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_sfm_revisited_tpu.ops.rotations import invert_pose
+from deep_sfm_revisited_tpu.train.metrics import motion_errors
+
+
+def record_pose_errors(
+    loader,
+    pose_forward: Callable,  # (batch, key) -> (B, 3, 4) predicted pose
+    key: jax.Array,
+    logger=None,
+) -> Dict[str, float]:
+    """Aggregate (rot, trans-dist, trans-angle) errors over a loader."""
+    errs: List[np.ndarray] = []
+    for batch in loader:
+        key, k = jax.random.split(key)
+        pred = pose_forward(batch, k)
+        gt = jnp.asarray(batch["pose_gt"])
+        r, td, ta = motion_errors(pred, gt)
+        errs.append(np.stack([np.asarray(r), np.asarray(td),
+                              np.asarray(ta)], axis=-1))
+    agg = np.concatenate(errs, axis=0).mean(axis=0)
+    out = {"rot_err": float(agg[0]), "trans_dist": float(agg[1]),
+           "trans_angle": float(agg[2])}
+    if logger is not None:
+        logger.info(f"pose errors: {out}")
+    return out
+
+
+def save_sequence_poses(
+    loader,
+    pose_forward: Callable,  # (ref, target, K, key) -> (B, 3, 4)
+    out_dir: str,
+    key: jax.Array,
+) -> List[str]:
+    """Per-frame [pose_fw; pose_bw] .npy files (≙ `save_pose`).
+
+    The backward pose is the model run with (ref, target) swapped, as the
+    reference does (`main.py:682-683`), not the matrix inverse — the two
+    differ by the network's estimation error, and the reference trains on
+    both.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for batch in loader:
+        key, k1, k2 = jax.random.split(key, 3)
+        ref = jnp.asarray(batch["ref"])
+        tgt = jnp.asarray(batch["target"])
+        K = jnp.asarray(batch["intrinsics"])
+        pose_bw = np.asarray(pose_forward(ref, tgt, K, k1))
+        pose_fw = np.asarray(pose_forward(tgt, ref, K, k2))
+        for b in range(pose_bw.shape[0]):
+            seq = batch.get("seq")
+            fid = batch.get("frame_id")
+            name = (
+                f"{int(seq[b]):02d}_{int(fid[b]):06d}.npy"
+                if seq is not None and fid is not None
+                else f"{len(written):06d}.npy"
+            )
+            path = os.path.join(out_dir, name)
+            np.save(path, np.stack([pose_fw[b], pose_bw[b]]))
+            written.append(path)
+    return written
+
+
+def trajectory_from_saved(out_dir: str, seq: int) -> np.ndarray:
+    """Chain saved backward poses of one sequence into a trajectory."""
+    from deep_sfm_revisited_tpu.train.odometry import chain_poses
+
+    files = sorted(
+        f for f in os.listdir(out_dir) if f.startswith(f"{seq:02d}_")
+    )
+    rel = np.stack([np.load(os.path.join(out_dir, f))[1] for f in files])
+    # pose_bw maps ref(t) -> target(t-1); cam_t-to-cam_{t-1} = its inverse
+    rel_c2p = np.asarray(invert_pose(jnp.asarray(rel)))
+    return np.asarray(chain_poses(jnp.asarray(rel_c2p)))

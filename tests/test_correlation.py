@@ -69,3 +69,16 @@ def test_pwcnet_forward():
     assert bool(jnp.all(jnp.isfinite(flow)))
     stack, _ = m.apply(params, pair, all_iters=True)
     assert stack.shape == (5, b, h, w, 2)
+
+
+def test_pallas_local_correlation_matches_xla():
+    """Pallas windowed-correlation kernel (interpret mode) vs reference."""
+    from deep_sfm_revisited_tpu.ops.pallas.local_corr import (
+        local_correlation_pallas,
+    )
+
+    f0 = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 32, 8), F32)
+    f1 = jax.random.normal(jax.random.PRNGKey(1), (2, 20, 32, 8), F32)
+    ref = local_correlation(f0, f1, md=2)
+    got = local_correlation_pallas(f0, f1, 2, 4, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

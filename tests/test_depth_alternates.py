@@ -23,7 +23,13 @@ def _inputs(b=1, h=64, w=96):
     return ref, tgt, pose, K, jnp.linalg.inv(K)
 
 
-@pytest.mark.parametrize("name", ["PANET", "REGNET", "REG2D", "DISPNET", "CVP"])
+@pytest.mark.parametrize(
+    "name",
+    ["REG2D", "CVP",
+     pytest.param("PANET", marks=pytest.mark.heavy),
+     pytest.param("REGNET", marks=pytest.mark.heavy),
+     pytest.param("DISPNET", marks=pytest.mark.heavy)],
+)
 def test_alternate_depth_forward(name):
     cfg = DepthConfig(estimator=name, nlabel=8, min_depth=1.0,
                       scale_min=0.8, scale_max=1.2, scale_step=0.2)

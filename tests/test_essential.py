@@ -139,12 +139,14 @@ def test_ransac_noise_and_outliers():
     assert int(out["inliers"]) > 150
 
 
+@pytest.mark.heavy
 def test_ransac_batch_vmap():
     scenes = [make_scene(jax.random.PRNGKey(s), n_points=128) for s in range(3)]
     x1 = jnp.stack([s[0] for s in scenes])
     x2 = jnp.stack([s[1] for s in scenes])
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
-    out = ess.ransac_pose_batch(x1, x2, keys)
+    out = ess.ransac_pose_batch(x1, x2, keys, num_hypotheses=64,
+                                ransac_iter=1, polish=False)
     assert out["P"].shape == (3, 3, 4)
     for i, (_, _, R, t, _) in enumerate(scenes):
         r_err = float(rot.rotation_angular_error(out["P"][i, :, :3], R))
@@ -169,7 +171,7 @@ def test_implicit_refinement_gradients_match_finite_differences():
     w = jnp.ones(100, F64)
 
     def loss(x1):
-        E = ess.refine_essential_implicit(E_true, x1, x2, w, 30, 1e-2)
+        E = ess.refine_essential_implicit(E_true, x1, x2, w, 15, 1e-2)
         return jnp.sum(E**2 * jnp.arange(9.0).reshape(3, 3))
 
     g = jax.grad(loss)(x1)

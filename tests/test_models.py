@@ -104,6 +104,7 @@ def test_sfmnet_end_to_end():
     )
 
 
+@pytest.mark.heavy
 def test_sfmnet_gt_pose_path():
     cfg = tiny_sfm_config()
     m = SFMNet(cfg)
@@ -122,6 +123,7 @@ def test_sfmnet_gt_pose_path():
     np.testing.assert_allclose(out["pose"], pose_gt, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_dicl_forward():
     from deep_sfm_revisited_tpu.models.dicl import DICLFlow
 
@@ -141,6 +143,7 @@ def test_dicl_forward():
     assert stack.shape[1:] == (b, h, w, 2)
 
 
+@pytest.mark.heavy
 def test_sfmnet_with_dicl():
     cfg = tiny_sfm_config().override(**{"flow.estimator": "DICL"})
     m = SFMNet(cfg)

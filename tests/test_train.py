@@ -154,6 +154,7 @@ def test_train_step_descends_and_freezes_flow():
     )
 
 
+@pytest.mark.heavy
 def test_checkpoint_roundtrip(tmp_path):
     from deep_sfm_revisited_tpu.train.checkpoint import (
         restore_checkpoint,
