@@ -103,7 +103,12 @@ class KittiVODataset:
         self.skip = skip
         self.transform = transform
         self.depth_subdir = depth_subdir
-        seqs = self.TRAIN_SEQS if train else self.TEST_SEQS
+        # tolerate partial downloads: only sequences present on disk
+        seqs = [
+            s
+            for s in (self.TRAIN_SEQS if train else self.TEST_SEQS)
+            if os.path.isdir(os.path.join(root, "sequences", f"{s:02d}"))
+        ]
         self.frames: List[Tuple[int, str]] = []
         for seq in seqs:
             img_dir = os.path.join(root, "sequences", f"{seq:02d}", "image_2")

@@ -1,0 +1,115 @@
+"""Flow-estimator pretraining.
+
+The reference *references* a flow-pretraining path (`cfg.TRAIN_FLOW`
+gating SFMnet to flow-only forward, `models/SFMnet.py:98-100`, driven by
+a `flow_training.train_flow` module that is absent from the repo —
+SURVEY.md §2.8). This module is that path, built for real: supervised
+flow training over the standard benchmark mix (data/flow_datasets.py)
+with the RAFT sequence loss or DICL multiscale loss, plus optional
+unsupervised photometric terms (train/losses.py).
+
+The trained flow params drop into the SfM composite via
+`train/checkpoint.py::restore_subtree(..., 'flow_net')` — the
+`--pretrained-flow` flow of the reference (`main.py:222-233`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core
+
+from deep_sfm_revisited_tpu.config import FlowConfig
+from deep_sfm_revisited_tpu.train.losses import (
+    flow_epe,
+    flow_sequence_loss,
+    multiscale_flow_loss,
+)
+from deep_sfm_revisited_tpu.train.trainer import TrainState
+
+# per-level weights of the DICL multiscale loss (cfgs/kitti.yml
+# MultiScale_W, incl. SUP_RAW_FLOW duplicated levels)
+DICL_LEVEL_WEIGHTS = (1.0, 0.8, 0.75, 0.6, 0.5, 0.4, 0.5, 0.4, 0.5, 0.4)
+
+
+def build_flow_model(cfg: FlowConfig, dtype=jnp.bfloat16):
+    if cfg.estimator == "RAFT":
+        from deep_sfm_revisited_tpu.models.raft import RAFT
+
+        return RAFT(cfg, dtype=dtype)
+    if cfg.estimator == "DICL":
+        from deep_sfm_revisited_tpu.models.dicl import DICLFlow
+
+        return DICLFlow(cfg, dtype=dtype)
+    if cfg.estimator == "PWC":
+        from deep_sfm_revisited_tpu.models.pwcnet import PWCDCNet
+
+        return PWCDCNet(cfg, dtype=dtype)
+    raise NotImplementedError(cfg.estimator)
+
+
+def create_flow_state(
+    cfg: FlowConfig,
+    rng: jax.Array,
+    sample_shape: Tuple[int, int, int],
+    lr: float = 4e-4,
+    total_steps: int = 100_000,
+    weight_decay: float = 1e-5,
+    dtype=jnp.bfloat16,
+):
+    """Model + AdamW with the RAFT one-cycle schedule."""
+    model = build_flow_model(cfg, dtype)
+    b, h, w = sample_shape
+    dummy = jnp.zeros((b, h, w, 6), jnp.float32)
+    variables = jax.jit(lambda d: model.init(rng, d))(dummy)
+    sched = optax.linear_onecycle_schedule(total_steps, lr, pct_start=0.05)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    return model, state
+
+
+def make_flow_train_step(model, cfg: FlowConfig, gamma: float = 0.8):
+    """One supervised flow step on batch dict(ref, target, flow_gt,
+    flow_valid)."""
+
+    def loss_fn(params, batch_stats, batch):
+        pair = jnp.concatenate([batch["ref"], batch["target"]], axis=-1)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pair, train=True, all_iters=True, mutable=["batch_stats"],
+        )
+        preds = out[0]
+        valid = batch.get("flow_valid")
+        if cfg.estimator == "DICL":
+            loss = multiscale_flow_loss(
+                list(preds), batch["flow_gt"],
+                DICL_LEVEL_WEIGHTS[: preds.shape[0]], valid,
+            )
+        else:
+            loss = flow_sequence_loss(preds, batch["flow_gt"], valid,
+                                      gamma=gamma)
+        epe = flow_epe(preds[-1], batch["flow_gt"], valid)
+        return loss, (epe, mutated["batch_stats"])
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        (loss, (epe, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return state, {"loss": loss, "epe": epe}
+
+    return step
