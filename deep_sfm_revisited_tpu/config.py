@@ -86,6 +86,10 @@ class PoseConfig:
     polish_iters: int = 10             # IRLS robust polish rounds (polish_E.cu:1470)
     polish_huber_delta: float = 1e-3   # ref SFMnet delta=0.001 (models/SFMnet.py:36)
     use_polish: bool = True
+    # differentiable pose: refine E with implicit-function gradients so
+    # pose error can train the flow net end-to-end (the reference defines
+    # this machinery but never wires it, epipolar_utils.py:158-357)
+    differentiable: bool = False
     gt_pose_normalized: bool = False   # ref GT_POSE_NORMALIZED
     pred_pose_gt_scale: bool = False   # oracle: rescale trans to GT norm
 

@@ -31,7 +31,11 @@ from flax import linen as nn
 from deep_sfm_revisited_tpu.config import SfMConfig
 from deep_sfm_revisited_tpu.models.psnet import PSNet
 from deep_sfm_revisited_tpu.models.raft import RAFT
-from deep_sfm_revisited_tpu.ops.essential import ransac_pose
+from deep_sfm_revisited_tpu.ops.essential import (
+    decompose_essential,
+    ransac_pose,
+    refine_essential_implicit,
+)
 from deep_sfm_revisited_tpu.ops.flow_ops import sample_correspondences
 
 Dtype = Any
@@ -170,14 +174,20 @@ class SFMNet(nn.Module):
         }
 
     def _pose_by_ransac(self, flow, K_inv, key):
-        """Batched on-device RANSAC pose (≙ `pose_by_ransac`, SFMnet.py:176)."""
+        """Batched on-device RANSAC pose (≙ `pose_by_ransac`, SFMnet.py:176).
+
+        With cfg.pose.differentiable, the winning E is re-refined through
+        the implicit-gradient layer on the *non-detached* correspondences,
+        so pose error back-propagates into the flow network — the wired
+        version of the reference's unwired bilevel machinery
+        (epipolar_utils.py:158-357).
+        """
         cfg = self.cfg.pose
-        B = flow.shape[0]
         if key is None:
             key = jax.random.PRNGKey(0)
         k_sample, k_ransac = jax.random.split(key)
         x1, x2 = sample_correspondences(
-            jax.lax.stop_gradient(flow).astype(jnp.float64),
+            flow.astype(jnp.float64),
             K_inv.astype(jnp.float64),
             num_points=cfg.num_correspondences,
             margin=cfg.corr_margin,
@@ -185,8 +195,8 @@ class SFMNet(nn.Module):
         )
 
         out = ransac_pose(
-            x1,
-            x2,
+            jax.lax.stop_gradient(x1),
+            jax.lax.stop_gradient(x2),
             k_ransac,
             num_hypotheses=cfg.num_hypotheses,
             ransac_iter=cfg.ransac_iter,
@@ -196,6 +206,17 @@ class SFMNet(nn.Module):
             huber_delta=cfg.polish_huber_delta,
             hyp_sharding=self.hyp_sharding,
         )
+        if cfg.differentiable:
+            w = jax.lax.stop_gradient(
+                out["inlier_mask"].astype(jnp.float64)
+            )
+            E = jax.vmap(
+                lambda e, a, b, ww: refine_essential_implicit(
+                    e, a, b, ww, cfg.polish_iters, cfg.polish_huber_delta
+                )
+            )(jax.lax.stop_gradient(out["E"]), x1, x2, w)
+            P, _ = decompose_essential(E, x1, x2)
+            return P.astype(jnp.float32), jax.lax.stop_gradient(out["inliers"])
         return (
             jax.lax.stop_gradient(out["P"].astype(jnp.float32)),
             jax.lax.stop_gradient(out["inliers"]),

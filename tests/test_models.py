@@ -156,3 +156,34 @@ def test_sfmnet_with_dicl():
     out = m.apply(params, ref, target, K, key=k)
     assert out["depth"].shape == (b, h, w)
     assert bool(jnp.all(jnp.isfinite(out["depth"])))
+
+
+@pytest.mark.heavy
+def test_sfmnet_differentiable_pose_gradient_reaches_flow():
+    """cfg.pose.differentiable routes pose error into the flow net via the
+    implicit-gradient refinement (the wired version of the reference's
+    unwired bilevel machinery)."""
+    import __graft_entry__ as g
+
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64).override(
+        **{"pose.differentiable": True}
+    )
+    m = SFMNet(cfg)
+    b = g._batch(1, 64, 96)
+    k = jax.random.PRNGKey(0)
+    v = jax.jit(
+        lambda r, t, K: m.init(jax.random.PRNGKey(1), r, t, K, key=k)
+    )(b["ref"], b["target"], b["intrinsics"])
+    stats = v.get("batch_stats", {})
+
+    def loss(params):
+        out = m.apply({"params": params, "batch_stats": stats},
+                      b["ref"], b["target"], b["intrinsics"], key=k)
+        return jnp.sum(out["pose"] ** 2)
+
+    grads = jax.grad(loss)(v["params"])
+    g_flow = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(grads["flow_net"])
+    )
+    assert np.isfinite(g_flow) and g_flow > 0
