@@ -91,10 +91,16 @@ class BasicEncoder(nn.Module):
         return nn.Conv(self.out_features, (1, 1), dtype=d)(x)
 
 
-def correlation_pyramid(f1: jnp.ndarray, f2: jnp.ndarray, levels: int):
+def correlation_pyramid(f1: jnp.ndarray, f2: jnp.ndarray, levels: int,
+                        radius: int = 4):
     """All-pairs correlation + average pyramid (≙ `corr.py:12-60`).
 
-    f1, f2 (B, H, W, C) -> list of (B*H*W, H/2^i, W/2^i, 1).
+    f1, f2 (B, H, W, C) -> list of ((B*H*W, H/2^i + 2p, W/2^i + 2p),
+    pad) zero-padded for the lookup window — padding is done HERE, once,
+    instead of inside the 12-iteration GRU scan (a full-volume copy per
+    iteration per level otherwise). Stored bf16: the lookup interpolates
+    in f32, and halving the 236 MB level-0 volume halves the pad/pool/
+    gather HBM traffic.
     """
     B, H, W, C = f1.shape
     a = f1.reshape(B, H * W, C)
@@ -105,12 +111,15 @@ def correlation_pyramid(f1: jnp.ndarray, f2: jnp.ndarray, levels: int):
     corr = jnp.einsum("bnc,bmc->bnm", a, b,
                       preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.asarray(C, jnp.float32))
-    corr = corr.reshape(B * H * W, H, W, 1)
-    pyramid = [corr]
-    for _ in range(levels - 1):
+    corr = corr.reshape(B * H * W, H, W, 1).astype(jnp.bfloat16)
+    pad = 2 * radius + 3
+    pyramid = []
+    for _ in range(levels):
+        pyramid.append(
+            jnp.pad(corr[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+        )
         corr = nn.avg_pool(corr, (2, 2), strides=(2, 2))
-        pyramid.append(corr)
-    return pyramid
+    return pyramid, pad
 
 
 def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
@@ -124,18 +133,18 @@ def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
     ~100x the FLOP cost), each query extracts ONE contiguous
     (2r+2)x(2r+2) patch via a vmapped dynamic_slice — a single sliced
     gather — and the full window is interpolated from it with four static
-    shifted products on the VPU.
+    shifted products on the VPU. Pyramid levels arrive pre-padded (and
+    bf16) from `correlation_pyramid`.
     """
+    pyramid, pad = pyramid
     B, H, W, _ = coords.shape
     r = radius
     S = 2 * r + 2  # patch covering the (2r+1) window + 1 for bilinear
     Q = B * H * W
     flat = coords.reshape(Q, 2)
     out = []
-    for i, corr in enumerate(pyramid):
-        Hl, Wl = corr.shape[1], corr.shape[2]
-        pad = 2 * r + 3
-        img = jnp.pad(corr[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+    for i, img in enumerate(pyramid):
+        Hl, Wl = img.shape[1] - 2 * pad, img.shape[2] - 2 * pad
         c = flat / (2.0 ** i)
         cx = jnp.clip(c[:, 0], -(r + 2.0), Wl + r + 1.0)
         cy = jnp.clip(c[:, 1], -(r + 2.0), Hl + r + 1.0)
@@ -147,7 +156,7 @@ def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
         yi = (y0 + pad).astype(jnp.int32)
         patch = jax.vmap(
             lambda img_q, y, x: jax.lax.dynamic_slice(img_q, (y, x), (S, S))
-        )(img, yi, xi)  # (Q, S, S)
+        )(img, yi, xi).astype(jnp.float32)  # (Q, S, S)
         fx_ = fx[:, None, None]
         fy_ = fy[:, None, None]
         win = (
@@ -269,7 +278,8 @@ class RAFT(nn.Module):
             jnp.concatenate([ref, tgt], axis=0), train
         )
         f1, f2 = fmaps[:B], fmaps[B:]
-        pyramid = correlation_pyramid(f1, f2, cfg.raft_corr_levels)
+        pyramid = correlation_pyramid(f1, f2, cfg.raft_corr_levels,
+                                      cfg.raft_corr_radius)
 
         cmap = BasicEncoder(cfg.raft_hidden_dim + cfg.raft_context_dim,
                             "batch", d, name="cnet")(ref, train)

@@ -1,0 +1,68 @@
+"""End-to-end CLI driver regression (heavy): fit -> validate -> restore.
+
+Mirrors the manual verification drive: a miniature on-disk KITTI-VO tree,
+one training epoch through `cli.main`, Eigen-metric validation, Orbax
+checkpointing, then eval mode with `--pretrained` restore.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mini_vo_root(tmp_path_factory):
+    from imageio.v2 import imwrite
+
+    root = tmp_path_factory.mktemp("kitti_vo_e2e")
+    rng = np.random.default_rng(0)
+    for seq in (0, 9):
+        img_dir = root / "sequences" / f"{seq:02d}" / "image_2"
+        os.makedirs(img_dir)
+        depth_dir = root / "RealDepth" / f"{seq:02d}" / "velodyne"
+        os.makedirs(depth_dir)
+        os.makedirs(root / "poses", exist_ok=True)
+        poses = []
+        for i in range(6):
+            imwrite(img_dir / f"{i:06d}.png",
+                    rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+            imwrite(depth_dir / f"{i:06d}.png",
+                    (rng.uniform(2, 7, (64, 96)) * 256).astype(np.uint16))
+            pose = np.concatenate(
+                [np.eye(3), [[0.05 * i], [0.0], [0.6 * i]]], axis=1
+            )
+            poses.append(pose.reshape(-1))
+        np.savetxt(root / "poses" / f"{seq:02d}.txt", np.stack(poses))
+        with open(root / "sequences" / f"{seq:02d}" / "calib.txt", "w") as f:
+            f.write("P2: 70 0 48 0 0 70 32 0 0 0 1 0\n")
+    return str(root)
+
+
+TINY = [
+    "--override",
+    "flow.raft_iters_train=2", "flow.raft_iters_eval=2",
+    "depth.nlabel=8", "pose.num_hypotheses=8", "pose.ransac_iter=1",
+    "pose.num_correspondences=64", "pose.polish_iters=2",
+    "data.val_size=(64,96)", "data.pad_multiple=16",
+]
+
+
+@pytest.mark.heavy
+def test_cli_train_validate_restore(mini_vo_root, tmp_path):
+    from deep_sfm_revisited_tpu.cli import main
+
+    out = str(tmp_path / "out")
+    main([
+        "--data", mini_vo_root, "--dataset", "kitti_vo", "-b", "2",
+        "--epochs", "1", "--out", out, "--workers", "2",
+        *TINY, "data.train_size=(48,80)", "train.print_freq=1",
+    ])
+    ckpt = os.path.join(out, "default", "ckpt")
+    assert "model_best" in os.listdir(ckpt)
+
+    res = main([
+        "--data", mini_vo_root, "--dataset", "kitti_vo", "-v",
+        "--pretrained", ckpt, "--out", out, "--workers", "2", *TINY,
+    ])
+    assert np.isfinite(res["abs_rel"])
