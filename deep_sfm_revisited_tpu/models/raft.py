@@ -311,10 +311,10 @@ class RAFT(nn.Module):
             flow = (coords1 - coords0).astype(d)
             net, mask, dflow = update_mod(net, inp, corr, flow)
             coords1 = coords1 + dflow.astype(jnp.float32)
-            flow_up = convex_upsample(
-                (coords1 - coords0), mask.astype(jnp.float32)
+            return (net, coords1), (
+                coords1 - coords0,
+                mask.astype(jnp.float32),
             )
-            return (net, coords1), flow_up
 
         scan = nn.scan(
             step,
@@ -322,8 +322,11 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             length=iters,
         )
-        (_, _), flows = scan(update, (net, coords0), None)
+        (_, _), (flows_lr, masks) = scan(update, (net, coords0), None)
 
         if all_iters:
+            # full-res supervision stack (training): upsample every iter
+            flows = jax.vmap(convex_upsample)(flows_lr, masks)
             return flows, None  # (iters, B, H, W, 2)
-        return flows[-1], None
+        # eval: only the final prediction needs the full-res upsample
+        return convex_upsample(flows_lr[-1], masks[-1]), None

@@ -126,3 +126,34 @@ def test_active_stereo():
     disp, inv = m.apply(p, l, r)
     assert disp.shape == (1, 64, 96)
     assert bool(jnp.all(jnp.isfinite(disp)))
+
+
+@pytest.mark.heavy
+def test_flow_trainer_step_descends():
+    """Supervised flow pretraining step (train/flow_trainer.py): loss and
+    EPE finite, parameters update."""
+    from deep_sfm_revisited_tpu.config import FlowConfig
+    from deep_sfm_revisited_tpu.train.flow_trainer import (
+        create_flow_state,
+        make_flow_train_step,
+    )
+
+    cfg = FlowConfig(estimator="RAFT", raft_iters_train=2, raft_iters_eval=2)
+    model, state = create_flow_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 96),
+        total_steps=10, dtype=jnp.float32,
+    )
+    step = make_flow_train_step(model, cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "ref": jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)), jnp.float32),
+        "target": jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)),
+                              jnp.float32),
+        "flow_gt": jnp.asarray(rng.normal(size=(1, 64, 96, 2)), jnp.float32),
+        "flow_valid": jnp.ones((1, 64, 96), bool),
+    }
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["epe"]))
+    assert not np.array_equal(jax.tree_util.tree_leaves(state2.params)[0], p0)
