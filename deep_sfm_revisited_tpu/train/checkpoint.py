@@ -76,6 +76,18 @@ def restore_checkpoint(
     )
 
 
+def restore_params(directory: str, epoch: Optional[int] = None) -> dict:
+    """Restore only {params, batch_stats} (no optimizer state) — for
+    inference-time loading where no TrainState exists."""
+    mgr = _mgr(directory)
+    epoch = epoch if epoch is not None else mgr.latest_step()
+    if epoch is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    restored = mgr.restore(epoch, args=ocp.args.StandardRestore())
+    return {"params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {})}
+
+
 def restore_subtree(
     directory: str,
     state: Any,

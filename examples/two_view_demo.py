@@ -120,19 +120,9 @@ def main(argv=None):
         lambda r, t, k: model.init(jax.random.PRNGKey(1), r, t, k, key=key)
     )(jnp.asarray(ref_p), jnp.asarray(tgt_p), Kb)
     if args.pretrained:
-        from flax import core
+        from deep_sfm_revisited_tpu.train.checkpoint import restore_params
 
-        from deep_sfm_revisited_tpu.train.checkpoint import restore_checkpoint
-        from deep_sfm_revisited_tpu.train.trainer import TrainState
-
-        dummy = TrainState(step=jnp.zeros((), jnp.int32),
-                           params=variables["params"],
-                           batch_stats=variables.get("batch_stats",
-                                                     core.FrozenDict()),
-                           opt_state=(), tx=None)
-        restored = restore_checkpoint(args.pretrained, dummy)
-        variables = {"params": restored.params,
-                     "batch_stats": restored.batch_stats}
+        variables = restore_params(args.pretrained)
     else:
         print("note: random-initialized weights — flow/pose/depth are "
               "structurally valid but not accurate; pass --pretrained for "
