@@ -539,8 +539,16 @@ def ransac_pose(
     validf = valid.reshape(B, C)
 
     # score all candidates against all points in one batched einsum:
-    # E batch dims (B, C) x point batch dims (B, 1) -> err (B, C, N)
-    err = sampson_error(Ef, x1[:, None], x2[:, None])
+    # E batch dims (B, C) x point batch dims (B, 1) -> err (B, C, N).
+    # Scoring runs in f32: TPU f64 is software-emulated and this is the
+    # largest tensor op in RANSAC; Sampson distances (~1e-6..1e-1) and the
+    # 1e-4 threshold are far inside f32 precision. The solve, polish and
+    # decomposition stay f64.
+    err = sampson_error(
+        Ef.astype(jnp.float32),
+        x1[:, None].astype(jnp.float32),
+        x2[:, None].astype(jnp.float32),
+    )
     inl = err < threshold
     counts = jnp.where(validf, jnp.sum(inl, axis=-1), -1)  # (B, C)
 
