@@ -162,3 +162,84 @@ def test_velodyne_projection():
     # principal point (48, 32) with the reference's -1 rounding offset
     assert abs(int(xs[0]) - 47) <= 1 and abs(int(ys[0]) - 31) <= 1
     np.testing.assert_allclose(depth[ys[0], xs[0]], 10.0)
+
+
+@pytest.fixture(scope="module")
+def kitti_raw_root(tmp_path_factory):
+    """Miniature KITTI-raw tree: one drive with images, velodyne scans,
+    OXTS records and calibration — exercises the no-precomputed-dicts
+    path (OXTS pose parsing + on-the-fly velodyne projection)."""
+    from imageio.v2 import imwrite
+
+    root = tmp_path_factory.mktemp("kitti_raw")
+    date = "2011_09_26"
+    drive = f"{date}_drive_0001_sync"
+    folder = f"{date}/{drive}"
+    rng = np.random.default_rng(0)
+
+    img_dir = root / folder / "image_02" / "data"
+    velo_dir = root / folder / "velodyne_points" / "data"
+    oxts_dir = root / folder / "oxts" / "data"
+    for d in (img_dir, velo_dir, oxts_dir):
+        os.makedirs(d)
+
+    # calibration: P2 focal 70, principal point (48, 32); standard axis swap
+    with open(root / date / "calib_cam_to_cam.txt", "w") as f:
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        f.write("P_rect_02: 70 0 48 0 0 70 32 0 0 0 1 0\n")
+    with open(root / date / "calib_velo_to_cam.txt", "w") as f:
+        f.write("R: 0 -1 0 0 0 -1 1 0 0\n")
+        f.write("T: 0 0 0\n")
+
+    for i in range(4):
+        imwrite(img_dir / f"{i:010d}.png",
+                rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+        # forward points (velo x in [2, 40])
+        pts = np.concatenate(
+            [rng.uniform(2, 40, (500, 1)), rng.uniform(-5, 5, (500, 2)),
+             np.ones((500, 1))], axis=1
+        ).astype(np.float32)
+        pts.tofile(velo_dir / f"{i:010d}.bin")
+        # oxts: lat lon alt roll pitch yaw + 24 zeros
+        rec = np.zeros(30)
+        rec[0] = 49.0 + i * 1e-6   # ~0.11 m north per frame
+        rec[1] = 8.43
+        rec[2] = 110.0
+        rec[5] = 0.02 * i          # yaw
+        np.savetxt(oxts_dir / f"{i:010d}.txt", rec[None])
+
+    with open(root / "train_files.txt", "w") as f:
+        for i in (1, 2):
+            f.write(f"{folder} {i} l\n")
+    with open(root / "test_files.txt", "w") as f:
+        f.write(f"{folder} 2 l\n")
+    return str(root)
+
+
+def test_kitti_raw_dataset(kitti_raw_root):
+    from deep_sfm_revisited_tpu.data import KittiRawDataset
+
+    tf = Compose([Normalize()])
+    ds = KittiRawDataset(kitti_raw_root, train=True, transform=tf,
+                         random_offset=False, random_fw_bw=False)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["ref"].shape == (64, 96, 3)
+    assert s["intrinsics"][0, 0] == 70.0
+    # velodyne projection produced sparse positive depths
+    nz = s["depth_gt"] > 0
+    assert 0 < nz.sum() < s["depth_gt"].size
+    assert float(s["depth_gt"][nz].min()) > 1.0
+    # OXTS pose chain: ~0.11 m between consecutive frames, finite rotation
+    t_norm = np.linalg.norm(s["pose_gt"][:, 3])
+    assert 0.01 < t_norm < 1.0
+    assert np.all(np.isfinite(s["pose_gt"]))
+
+
+def test_kitti_raw_test_split(kitti_raw_root):
+    from deep_sfm_revisited_tpu.data import KittiRawDataset
+
+    ds = KittiRawDataset(kitti_raw_root, train=False)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["pose_gt"].shape == (3, 4)
