@@ -128,13 +128,16 @@ def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
     coords (B, H, W, 2) current correspondences at 1/8 res. Returns
     (B, H, W, levels*(2r+1)^2).
 
-    TPU formulation: instead of (2r+1)^2 x 4 per-scalar bilinear gathers
-    (XLA scalar gathers serialize and dominated the whole pipeline,
-    ~100x the FLOP cost), each query extracts ONE contiguous
-    (2r+2)x(2r+2) patch via a vmapped dynamic_slice — a single sliced
-    gather — and the full window is interpolated from it with four static
-    shifted products on the VPU. Pyramid levels arrive pre-padded (and
-    bf16) from `correlation_pyramid`.
+    TPU formulation: gather-free. Each query extracts one contiguous
+    (2r+2)x(2r+2) patch by two one-hot matmuls (row-select then
+    column-select on the MXU), and the (2r+1)^2 window is interpolated
+    from the patch with four static shifted products on the VPU. Both
+    gather lowerings lose badly here: (2r+1)^2x4 per-scalar gathers are
+    ~100x the FLOP cost, and a vmapped dynamic_slice patch gather still
+    ran ~70 ms/iteration *inside the GRU scan* (measured on v5e) vs
+    ~2 ms/iteration for the one-hot form — selection matmuls are exact
+    (one nonzero per row) and ride the MXU. Pyramid levels arrive
+    pre-padded (and bf16) from `correlation_pyramid`.
     """
     pyramid, pad = pyramid
     B, H, W, _ = coords.shape
@@ -143,8 +146,10 @@ def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
     Q = B * H * W
     flat = coords.reshape(Q, 2)
     out = []
+    offs = jnp.arange(S)
     for i, img in enumerate(pyramid):
-        Hl, Wl = img.shape[1] - 2 * pad, img.shape[2] - 2 * pad
+        Hp, Wp = img.shape[1], img.shape[2]
+        Hl, Wl = Hp - 2 * pad, Wp - 2 * pad
         c = flat / (2.0 ** i)
         cx = jnp.clip(c[:, 0], -(r + 2.0), Wl + r + 1.0)
         cy = jnp.clip(c[:, 1], -(r + 2.0), Hl + r + 1.0)
@@ -152,11 +157,12 @@ def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
         y0 = jnp.floor(cy - r)
         fx = (cx - r) - x0
         fy = (cy - r) - y0
-        xi = (x0 + pad).astype(jnp.int32)
-        yi = (y0 + pad).astype(jnp.int32)
-        patch = jax.vmap(
-            lambda img_q, y, x: jax.lax.dynamic_slice(img_q, (y, x), (S, S))
-        )(img, yi, xi).astype(jnp.float32)  # (Q, S, S)
+        yi = (y0 + pad).astype(jnp.int32)[:, None] + offs[None]  # (Q, S)
+        xi = (x0 + pad).astype(jnp.int32)[:, None] + offs[None]
+        oh_y = jax.nn.one_hot(yi, Hp, dtype=img.dtype)  # (Q, S, Hp)
+        oh_x = jax.nn.one_hot(xi, Wp, dtype=img.dtype)  # (Q, S, Wp)
+        rows = jnp.einsum("qsh,qhw->qsw", oh_y, img)
+        patch = jnp.einsum("qtw,qsw->qst", oh_x, rows).astype(jnp.float32)
         fx_ = fx[:, None, None]
         fy_ = fy[:, None, None]
         win = (
@@ -249,7 +255,12 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    up = jnp.einsum("bhwuvn,bhwnc->bhwuvc", mask, patches)  # (B,h,w,8,8,2)
+    # broadcast-multiply-reduce over the 9 neighbors: an einsum here is a
+    # per-pixel (64x9)@(9x2) batched matmul, which lowers to a pathological
+    # tiny-matmul loop on TPU (~25 ms measured); the VPU form is ~free
+    up = jnp.sum(
+        mask[..., None] * patches[:, :, :, None, None, :, :], axis=-2
+    )  # (B, h, w, 8, 8, 2)
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
 
 
