@@ -37,6 +37,7 @@ from flax import linen as nn
 from deep_sfm_revisited_tpu.config import DepthConfig
 from deep_sfm_revisited_tpu.models.psnet import ContextNet, DepthContextNet
 from deep_sfm_revisited_tpu.models.submodules import (
+    Conv3DMXU,
     ConvBN,
     ConvBN3D,
     SPPFeatureExtractor,
@@ -132,7 +133,7 @@ class SmallHourglass3D(nn.Module):
             r = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
             r = ConvBN3D(32, dtype=d)(r, train)
             c0 = c0 + r
-        return nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=d)(c0)
+        return Conv3DMXU(1, (3, 3, 3), dtype=d)(c0)
 
 
 class PANet(nn.Module):
@@ -228,9 +229,7 @@ class REGNet(nn.Module):
                 r = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
                 r = ConvBN3D(32, dtype=d)(r, train)
                 c0 = c0 + r
-            c = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=d)(
-                c0
-            )[..., 0]
+            c = Conv3DMXU(1, (3, 3, 3), dtype=d)(c0)[..., 0]
             costs = c if costs is None else costs + c
         costs = costs / T
 

@@ -37,6 +37,7 @@ from flax import linen as nn
 
 from deep_sfm_revisited_tpu.config import DepthConfig
 from deep_sfm_revisited_tpu.models.submodules import (
+    Conv3DMXU,
     ConvBN3D,
     SPPFeatureExtractor,
     resize_bilinear,
@@ -63,7 +64,7 @@ class Hourglass3D(nn.Module):
             r = ConvBN3D(32, dtype=d)(r, train)
             c0 = c0 + r
         out = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
-        out = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=d)(out)
+        out = Conv3DMXU(1, (3, 3, 3), dtype=d)(out)
         return out  # (B, D, H, W, 1)
 
 
@@ -84,10 +85,9 @@ class ContextNet(nn.Module):
         d = self.dtype
         plan = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]
         for feats, dil in plan:
-            x = nn.Conv(
+            x = Conv3DMXU(
                 feats, (1, 3, 3),
-                kernel_dilation=(1, dil, dil),
-                padding=((0, 0), (dil, dil), (dil, dil)),
+                dilation=(dil, dil),
                 use_bias=not self.use_bn,
                 dtype=d,
             )(x)
@@ -95,8 +95,8 @@ class ContextNet(nn.Module):
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  dtype=d)(x)
             x = nn.relu(x)
-        return nn.Conv(self.out_features, (1, 3, 3),
-                       padding=((0, 0), (1, 1), (1, 1)), dtype=d)(x)
+        return Conv3DMXU(self.out_features, (1, 3, 3), use_bias=True,
+                         dtype=d)(x)
 
 
 class DepthContextNet(nn.Module):
@@ -171,14 +171,16 @@ class PSNet(nn.Module):
         T = targets.shape[1]
         for j in range(T):
             tgt_feat = feat_net(targets[:, j], train)
+            # warp in the compute dtype (bf16 under mixed precision): the
+            # cost volume is cast to it right after anyway, and halving
+            # the gather source bytes is measurably faster
             warped = plane_sweep_warp(
-                tgt_feat.astype(jnp.float32), plane_depths, pose[:, j],
-                K4, K4_inv,
+                tgt_feat.astype(d), plane_depths, pose[:, j], K4, K4_inv,
             )  # (B, D, H/4, W/4, 32)
             refb = jnp.broadcast_to(
-                ref_feat[:, None].astype(jnp.float32), warped.shape
+                ref_feat[:, None].astype(d), warped.shape
             )
-            cost = jnp.concatenate([refb, warped], axis=-1).astype(d)
+            cost = jnp.concatenate([refb, warped], axis=-1)
             if self.cost_sharding is not None:
                 cost = jax.lax.with_sharding_constraint(cost, self.cost_sharding)
             c = hourglass(cost, train)  # (B, D, H/4, W/4, 1)

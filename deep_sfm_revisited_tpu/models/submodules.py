@@ -47,6 +47,76 @@ class ConvBN(nn.Module):
         )(x)
 
 
+class Conv3DMXU(nn.Module):
+    """3D convolution computed as depth-folded 2D convolutions. NDHWC.
+
+    XLA's native NDHWC 3D convolution runs at ~14 TFLOP/s effective on
+    v5e for the 32-channel plane-sweep volumes used here; folding the D
+    axis into batch and summing kd depth-shifted 2D convolutions is the
+    same math (bit-identical modulo bf16 accumulation order) and 2.1x
+    faster (measured: scratch/psnet_conv_ablate.py, 196 -> 92 ms for the
+    hourglass stack). Parameters match a standard conv kernel
+    (kd, kh, kw, Cin, Cout) (+ optional bias).
+
+    Supports kd in {1, 3} with unit D-stride and SAME D-padding — the
+    shapes used by the PSNet/DPSNet-family hourglasses and per-plane 2D
+    context stacks (ref `models/submodule.py:18`, `models/PSNet.py:64-102`).
+    H/W stride and dilation are supported.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dilation: Tuple[int, int] = (1, 1)  # (H, W) dilation
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel
+        if kd not in (1, 3) or self.strides[0] != 1:
+            raise NotImplementedError(
+                f"Conv3DMXU supports kd in {{1,3}}, unit D-stride; got "
+                f"kernel={self.kernel} strides={self.strides}"
+            )
+        B, D, H, W, Cin = x.shape
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kd, kh, kw, Cin, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        x2 = x.reshape(B * D, H, W, Cin)
+        dh, dw = self.dilation
+        pads = [(dh * (kh // 2),) * 2, (dw * (kw // 2),) * 2]
+        outs = [
+            jax.lax.conv_general_dilated(
+                x2, k[i], self.strides[1:], pads,
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            for i in range(kd)
+        ]
+        Ho, Wo = outs[0].shape[1:3]
+        outs = [o.reshape(B, D, Ho, Wo, self.features) for o in outs]
+        if kd == 1:
+            y = outs[0]
+        else:
+            # y[d] = conv(x[d-1], k0) + conv(x[d], k1) + conv(x[d+1], k2)
+            z = jnp.zeros_like(outs[0][:, :1])
+            y = (
+                jnp.concatenate([z, outs[0][:, :-1]], axis=1)
+                + outs[1]
+                + jnp.concatenate([outs[2][:, 1:], z], axis=1)
+            )
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ).astype(self.dtype)
+        return y
+
+
 class ConvBN3D(nn.Module):
     """Conv3D + BatchNorm (ref `convbn_3d`, submodule.py:18). NDHWC."""
 
@@ -57,14 +127,19 @@ class ConvBN3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.stride,
-            padding=tuple(k // 2 for k in self.kernel),
-            use_bias=False,
-            dtype=self.dtype,
-        )(x)
+        if self.kernel[0] in (1, 3) and self.stride[0] == 1:
+            x = Conv3DMXU(
+                self.features, self.kernel, self.stride, dtype=self.dtype
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.stride,
+                padding=tuple(k // 2 for k in self.kernel),
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype
         )(x)

@@ -80,9 +80,12 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     contribute zero — matching torch grid_sample zeros padding combined with
     the reference's out-of-range trick (`models/inverse_warp.py:68-72`).
 
-    Implemented as four gathers + lerp; XLA lowers the flat `take` to an
-    efficient dynamic-gather on TPU. (A Pallas kernel slot: see
-    ops/pallas/warp.py for the fused plane-sweep version.)
+    TPU gather cost is bound by gather *row count*, not bytes: instead of
+    four single-pixel gathers, pad the image by one column and gather
+    horizontally-adjacent pixel PAIRS (the x0 and x0+1 taps come back in
+    one 2C-wide row), halving the gather rows — exact same math, measured
+    ~20% faster at plane-sweep scale (scratch/warp_ablate.py). (A Pallas
+    kernel slot once Mosaic works on this platform.)
     """
     B, H, W, C = img.shape
     out_shape = coords.shape[:-1] + (C,)
@@ -98,22 +101,27 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
     wx = (x - x0)[..., None]
     wy = (y - y0)[..., None]
 
-    flat = img.reshape(B, H * W, C)
+    # (B, H*(W+1), C) with a zero column at x = W; consecutive rows within
+    # an image row are (x, x+1), so one gather at y*(W+1)+x0 over the
+    # 2C-wide pair view returns both horizontal taps. When x0 = W-1 the
+    # second tap reads the zero pad, and wx = 0 there (x is clipped to
+    # W-1), so the contribution is exactly zero — matching the 4-tap form.
+    fp = jnp.pad(img, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    flat = fp.reshape(B, H * (W + 1), C)
+    pair = jnp.concatenate([flat[:, :-1], flat[:, 1:]], axis=-1)  # (B,N-1,2C)
 
-    def gather(yy, xx):
-        idx = (yy * W + xx).astype(jnp.int32)
+    def gather2(yy):
+        idx = (yy * (W + 1) + x0).astype(jnp.int32)
         # indices are pre-clipped; mode="clip" skips XLA's NaN-fill path
-        return jnp.take_along_axis(flat, idx[..., None], axis=1, mode="clip")
+        g = jnp.take_along_axis(pair, idx[..., None], axis=1, mode="clip")
+        return g[..., :C], g[..., C:]
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x1)
-    v10 = gather(y1, x0)
-    v11 = gather(y1, x1)
+    v00, v01 = gather2(y0)
+    v10, v11 = gather2(y1)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     out = (top * (1 - wy) + bot * wy) * valid[..., None]
