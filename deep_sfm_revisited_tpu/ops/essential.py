@@ -40,7 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deep_sfm_revisited_tpu.ops.linalg64 import det3x3, eigh3x3, gauss_solve, nullspace
+from deep_sfm_revisited_tpu.ops.linalg64 import det3x3, gauss_solve, nullspace
 from deep_sfm_revisited_tpu.ops.polyroots import real_roots
 from deep_sfm_revisited_tpu.ops.rotations import exp_so3, skew
 
@@ -293,22 +293,50 @@ def essential_from_rt(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 def _uv_from_essential(E: jnp.ndarray):
     """Proper-rotation factors U, V with E ~ U diag(1,1,0) V^T.
 
-    Uses eigh of the symmetric E E^T (ascending eigenvalues ~ (0, s^2, s^2))
-    instead of a general SVD — f64 eigh is available everywhere, and E's
-    singular structure is known. Replaces the Givens decomposition `Edecomp`
-    (`polish_E.cu:147-244`) / `decomposeUV` API (`essential_matrix_wrapper
-    .cpp:102-108`).
+    Closed form, no iterative factorization: a true essential matrix has
+    singular values (s, s, 0), so (a) u3 spans the left null space — the
+    best-conditioned cross product of two *columns* of E (columns span
+    the range of E^T... rows of E^T; u3 is orthogonal to every column of
+    E^T's row space, i.e. E^T u3 = 0 <=> u3 perp columns of E), and
+    (b) because the two nonzero singular values are EQUAL, *any*
+    orthonormal basis (u1, u2) of the plane perpendicular to u3 is a
+    valid pair of left singular vectors; v_i = E^T u_i / s completes V.
+    This replaces the 8-sweep Jacobi `eigh3x3` of E E^T (24 sequential
+    rotation micro-ops — pure latency on TPU) with a handful of cross
+    products. Replaces the Givens decomposition `Edecomp`
+    (`polish_E.cu:147-244`) / `decomposeUV` API
+    (`essential_matrix_wrapper.cpp:102-108`).
     """
-    EEt = E @ jnp.swapaxes(E, -1, -2)
-    _, U0 = eigh3x3(EEt)  # ascending
-    u1, u2, u3 = U0[..., 2], U0[..., 1], U0[..., 0]
-    # right-handed U
-    u3 = jnp.cross(u1, u2)
+    eps = jnp.asarray(1e-30, E.dtype)
+    c0, c1, c2 = E[..., :, 0], E[..., :, 1], E[..., :, 2]
+    # u3 = null(E^T): orthogonal to the column space of E. Pick the
+    # largest of the three pairwise cross products for conditioning.
+    cands = jnp.stack(
+        [jnp.cross(c0, c1), jnp.cross(c0, c2), jnp.cross(c1, c2)], axis=-2
+    )  # (..., 3, 3)
+    nrm = jnp.linalg.norm(cands, axis=-1)
+    pick = jnp.argmax(nrm, axis=-1)
+    u3 = jnp.take_along_axis(cands, pick[..., None, None], axis=-2)[..., 0, :]
+    u3 = u3 / jnp.maximum(jnp.linalg.norm(u3, axis=-1, keepdims=True), eps)
+
+    # u1: unit vector perpendicular to u3 — cross with the canonical axis
+    # least aligned with u3 (branch-free one-hot select)
+    axis = jnp.argmin(jnp.abs(u3), axis=-1)
+    e_min = jax.nn.one_hot(axis, 3, dtype=E.dtype)
+    u1 = jnp.cross(u3, e_min)
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), eps)
+    u2 = jnp.cross(u3, u1)  # then u1 x u2 = u3: U is proper
+
     Et = jnp.swapaxes(E, -1, -2)
     v1 = jnp.einsum("...ij,...j->...i", Et, u1)
-    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), eps)
     v2 = jnp.einsum("...ij,...j->...i", Et, u2)
-    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
+    # Gram-Schmidt against v1: exact no-op when E is exactly essential
+    # (equal singular values make E^T u1 perp E^T u2), but keeps V a true
+    # rotation for slightly-perturbed inputs (polish/refine entry points),
+    # where a non-orthogonal V would warp the (U, V) manifold GN steps.
+    v2 = v2 - jnp.sum(v1 * v2, axis=-1, keepdims=True) * v1
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), eps)
     v3 = jnp.cross(v1, v2)
     U = jnp.stack([u1, u2, u3], axis=-1)
     V = jnp.stack([v1, v2, v3], axis=-1)

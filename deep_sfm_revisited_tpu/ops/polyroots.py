@@ -31,8 +31,15 @@ import jax.numpy as jnp
 # number of theta samples for bracketing; 10 roots over (-pi/2, pi/2) are
 # generically well separated at this resolution.
 _GRID = 512
-_BISECT_ITERS = 48
-_NEWTON_ITERS = 2
+# Bracketing runs in float32: TPU f64 is a software-emulated float pair
+# (~10x per op, worse for sin/cos), and a bisection bracket only needs
+# sign information — 26 halvings reach f32's theta resolution, after
+# which the f64 Newton polish below restores full precision (quadratic:
+# ~1e-6 relative -> ~1e-12 -> ~1e-16 in two steps; 4 for margin). This
+# halves the sequential depth of the root finder AND moves every step
+# from emulated f64 to native f32.
+_BISECT_ITERS = 26
+_NEWTON_ITERS = 4
 
 
 def _eval_homogeneous(coeffs: jnp.ndarray, s: jnp.ndarray, c: jnp.ndarray):
@@ -59,11 +66,15 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
     scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True)
     coeffs = coeffs / jnp.maximum(scale, 1e-30)  # 1e-300 flushes to 0 on TPU f64
 
-    half_pi = jnp.asarray(jnp.pi / 2, dtype)
-    eps = jnp.asarray(1e-7, dtype)
-    theta = jnp.linspace(-half_pi + eps, half_pi - eps, _GRID).astype(dtype)
+    # bracketing dtype: f32 when the input is f64 (see note on _BISECT_ITERS)
+    bdtype = jnp.float32 if dtype == jnp.float64 else dtype
+    bcoeffs = coeffs.astype(bdtype)
+
+    half_pi = jnp.asarray(jnp.pi / 2, bdtype)
+    eps = jnp.asarray(1e-7, bdtype)
+    theta = jnp.linspace(-half_pi + eps, half_pi - eps, _GRID).astype(bdtype)
     s, c = jnp.sin(theta), jnp.cos(theta)
-    vals = _eval_homogeneous(coeffs, s, c)  # (..., GRID)
+    vals = _eval_homogeneous(bcoeffs, s, c)  # (..., GRID)
 
     sign = jnp.sign(vals)
     # a bracket at i means sign change between theta[i] and theta[i+1]
@@ -83,7 +94,7 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
     def body(_, carry):
         lo, hi, f_lo = carry
         mid = 0.5 * (lo + hi)
-        f_mid = _eval_homogeneous(coeffs, jnp.sin(mid), jnp.cos(mid))
+        f_mid = _eval_homogeneous(bcoeffs, jnp.sin(mid), jnp.cos(mid))
         go_right = jnp.sign(f_mid) == jnp.sign(f_lo)
         lo = jnp.where(go_right, mid, lo)
         hi = jnp.where(go_right, hi, mid)
@@ -91,7 +102,8 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
         return lo, hi, f_lo
 
     lo, hi, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi, f_lo))
-    roots = jnp.tan(0.5 * (lo + hi))
+    # tan in the target dtype (f32 tan near +-pi/2 would waste the bracket)
+    roots = jnp.tan((0.5 * (lo + hi)).astype(dtype))
 
     # Newton polish in z for the last bits of precision
     n = coeffs.shape[-1] - 1

@@ -96,3 +96,31 @@ print("parity c vs a:", float(jnp.max(jnp.abs(r2.astype(jnp.float32) - r0.astype
 timeit("native 3D conv x12", jax.jit(native), x)
 timeit("D-shift concat (1,3,3) x12", jax.jit(dshift_concat), x)
 timeit("folded-batch 2D x3 x12", jax.jit(folded2d), x)
+
+
+def folded2d_fused(x):
+    """One conv with 3F output channels (k0|k1|k2 concat along Cout), then
+    depth-shift sum: same math, one implicit GEMM with N=96 instead of
+    three with N=32 (MXU lanes are 128-wide; N=32 caps utilization at 25%)."""
+    b, dd, hh, ww, _ = x.shape
+    for k in ks:
+        F = k.shape[-1]
+        x2 = x.reshape(b * dd, hh, ww, x.shape[-1])
+        kc = jnp.concatenate([k[0], k[1], k[2]], axis=-1)  # (3,3,Cin,3F)
+        y = jax.lax.conv_general_dilated(
+            x2, kc, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16,
+        ).reshape(b, dd, hh, ww, 3, F)
+        y0, y1, y2 = y[..., 0, :], y[..., 1, :], y[..., 2, :]
+        z = jnp.zeros((b, 1, hh, ww, F), jnp.bfloat16)
+        x = nn.relu(
+            jnp.concatenate([z, y0[:, :-1]], axis=1)
+            + y1
+            + jnp.concatenate([y2[:, 1:], z], axis=1))
+    return x
+
+
+r3 = jax.jit(folded2d_fused)(xs)
+print("parity d vs a:", float(jnp.max(jnp.abs(r3.astype(jnp.float32) - r0.astype(jnp.float32)))), flush=True)
+timeit("folded fused Cout=96 x12", jax.jit(folded2d_fused), x)
