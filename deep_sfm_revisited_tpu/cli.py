@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir to restore")
     p.add_argument("--pretrained-flow", default=None)
     p.add_argument("--pretrained-depth", default=None)
+    p.add_argument("--pretrained-torch", default=None,
+                   help="reference .pth.tar checkpoint to port "
+                        "(utils/torch_port; ≙ main.py:200-242 loading)")
     p.add_argument("--gt-depth-dir", default=None)
     p.add_argument("--out", default="output")
     p.add_argument("--workers", type=int, default=8)
@@ -158,6 +161,27 @@ def main(argv=None):
             )
 
             state = restore_checkpoint(args.pretrained, state)
+        if args.pretrained_torch:
+            from deep_sfm_revisited_tpu.utils import torch_port as tp
+
+            sd = tp.load_torch_checkpoint(args.pretrained_torch)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            new_vars, report = tp.convert_reference_checkpoint(
+                sd, variables,
+                flow=cfg.flow.estimator if cfg.flow.estimator == "DICL"
+                else None,
+                depth=cfg.depth.estimator if cfg.depth.estimator == "PSNET"
+                else None,
+                context_bn=cfg.depth.context_bn,
+                dep_context=cfg.depth.psnet_dep_context,
+            )
+            if report["missing"] or report["unused"]:
+                print(f"torch port: {len(report['missing'])} missing, "
+                      f"{len(report['unused'])} unused torch keys "
+                      f"(strict=False semantics, main.py:203)")
+            state = state.replace(params=new_vars["params"],
+                                  batch_stats=new_vars["batch_stats"])
         eval_fn = make_eval_step(model, cfg)
         results = validate(val_loader, state, eval_fn,
                            jax.random.PRNGKey(0))

@@ -55,13 +55,16 @@ class BasicConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # the reference's BasicConv passes bias=False to Conv2d AND
+        # ConvTranspose2d unconditionally (DICL_shallow.py:82-84), even
+        # with bn=False — so no bias here either
         if self.deconv:
             # 'SAME' gives the exact 2x upsampling of torch
             # ConvTranspose2d(kernel=4, stride=2, padding=1)
             x = nn.ConvTranspose(
                 self.features, (self.kernel, self.kernel),
                 strides=(self.stride, self.stride), padding="SAME",
-                dtype=self.dtype,
+                use_bias=False, dtype=self.dtype,
             )(x)
         else:
             pad = self.dilation if self.dilation > 1 else self.kernel // 2
@@ -69,7 +72,7 @@ class BasicConv(nn.Module):
                 self.features, (self.kernel, self.kernel),
                 strides=(self.stride, self.stride), padding=pad,
                 kernel_dilation=(self.dilation, self.dilation),
-                use_bias=not self.bn, dtype=self.dtype,
+                use_bias=False, dtype=self.dtype,
             )(x)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -258,10 +261,11 @@ class DICLFlow(nn.Module):
             out = net(folded, train)[..., 0]
             cost = out.reshape(Bc, S2, Hc, Wc)
             if cfg.dicl_smooth_cost:
-                # learned 1x1 smoothing across displacements, identity init
-                # (≙ smooth_cost + SMOOTH_INIT_BY_ID)
+                # learned 1x1 smoothing across displacements, identity init,
+                # bias-free (≙ smooth_cost BasicConv(bn=False, relu=False)
+                # + SMOOTH_INIT_BY_ID, DICL_shallow.py:324-337,466-476)
                 cost = nn.Conv(
-                    S2, (1, 1), use_bias=True, dtype=d,
+                    S2, (1, 1), use_bias=False, dtype=d,
                     kernel_init=lambda k, s, dt=jnp.float32: jnp.eye(
                         S2, dtype=dt
                     ).reshape(s),

@@ -83,20 +83,23 @@ class ContextNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        plan = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]
+        # every `convtext` layer is bias-free and ReLU-terminated — the
+        # LAST one included, so the residual context addition is
+        # non-negative (ref convtext PSNet.py:17-27, convs PSNet.py:64-72)
+        plan = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1),
+                (self.out_features, 1)]
         for feats, dil in plan:
             x = Conv3DMXU(
                 feats, (1, 3, 3),
                 dilation=(dil, dil),
-                use_bias=not self.use_bn,
+                use_bias=False,
                 dtype=d,
             )(x)
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  dtype=d)(x)
             x = nn.relu(x)
-        return Conv3DMXU(self.out_features, (1, 3, 3), use_bias=True,
-                         dtype=d)(x)
+        return x
 
 
 class DepthContextNet(nn.Module):
@@ -108,15 +111,18 @@ class DepthContextNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        plan = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]
+        # bias-free, ReLU-terminated `convtext` layers throughout — the
+        # last included (ref dep_convs PSNet.py:54-61)
+        plan = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1),
+                (1, 1)]
         for feats, dil in plan:
             x = nn.Conv(feats, (3, 3), kernel_dilation=(dil, dil),
-                        padding=dil, use_bias=not self.use_bn, dtype=d)(x)
+                        padding=dil, use_bias=False, dtype=d)(x)
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  dtype=d)(x)
             x = nn.relu(x)
-        return nn.Conv(1, (3, 3), padding=1, dtype=d)(x)
+        return x
 
 
 class PSNet(nn.Module):
