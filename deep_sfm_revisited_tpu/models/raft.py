@@ -47,7 +47,9 @@ class ResBlock(nn.Module):
 
     def _norm(self, x, train):
         if self.norm == "instance":
-            return nn.GroupNorm(num_groups=x.shape[-1], dtype=self.dtype)(x)
+            # epsilon matches torch InstanceNorm2d (1e-5; flax default 1e-6)
+            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5,
+                                dtype=self.dtype)(x)
         if self.norm == "batch":
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 dtype=self.dtype)(x)
@@ -80,7 +82,7 @@ class BasicEncoder(nn.Module):
         d = self.dtype
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=d)(x)
         if self.norm == "instance":
-            x = nn.GroupNorm(num_groups=64, dtype=d)(x)
+            x = nn.GroupNorm(num_groups=64, epsilon=1e-5, dtype=d)(x)
         elif self.norm == "batch":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=d)(x)
@@ -187,8 +189,12 @@ class SepConvGRU(nn.Module):
         for ksize in ((1, 5), (5, 1)):
             pad = tuple((k // 2, k // 2) for k in ksize)
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, dtype=d)(hx))
-            r = nn.sigmoid(nn.Conv(self.hidden, ksize, padding=pad, dtype=d)(hx))
+            # z and r read the same input: ONE conv with 2*hidden outputs
+            # (kernel = torch z|r kernels concatenated along Cout) — same
+            # math, one MXU pass instead of two inside the scanned body
+            zr = nn.Conv(2 * self.hidden, ksize, padding=pad, dtype=d)(hx)
+            z = nn.sigmoid(zr[..., : self.hidden])
+            r = nn.sigmoid(zr[..., self.hidden :])
             q = jnp.tanh(
                 nn.Conv(self.hidden, ksize, padding=pad, dtype=d)(
                     jnp.concatenate([r * h, x], axis=-1)
@@ -230,10 +236,13 @@ class UpdateBlock(nn.Module):
         motion = MotionEncoder(dtype=d)(flow, corr)
         x = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden, d)(net, x)
-        dflow = nn.Conv(256, (3, 3), padding=1, dtype=d)(net)
-        dflow = nn.Conv(2, (3, 3), padding=1, dtype=d)(nn.relu(dflow))
-        mask = nn.Conv(256, (3, 3), padding=1, dtype=d)(net)
-        mask = nn.Conv(64 * 9, (1, 1), dtype=d)(nn.relu(mask)) * 0.25
+        # the flow and mask heads' first 3x3 convs both read `net`: fused
+        # into one 512-out conv (kernel = flow|mask kernels along Cout)
+        heads = nn.Conv(512, (3, 3), padding=1, dtype=d)(net)
+        dflow = nn.Conv(2, (3, 3), padding=1, dtype=d)(
+            nn.relu(heads[..., :256]))
+        mask = nn.Conv(64 * 9, (1, 1), dtype=d)(
+            nn.relu(heads[..., 256:])) * 0.25
         return net, mask, dflow
 
 

@@ -115,6 +115,22 @@ def apply_entries(
 
     for kind, tkey, fpath in entries:
         fparts = tuple(p for p in fpath.split("/") if p)
+        if kind == "conv2d_cat":
+            # fused conv: torch kernels/biases concatenated along Cout
+            ws = [take(f"{k}.weight") for k in tkey]
+            if all(w is not None for w in ws):
+                w = np.concatenate([np.transpose(w, (2, 3, 1, 0)) for w in ws],
+                                   axis=-1)
+                dst = ("params",) + root + fparts + ("kernel",)
+                _set(variables, dst, w)
+                filled.append("/".join(dst))
+            bs = [sd.get(f"{k}.bias") for k in tkey]
+            if all(b is not None for b in bs):
+                dst = ("params",) + root + fparts + ("bias",)
+                _set(variables, dst, np.concatenate(bs))
+                consumed.extend(f"{k}.bias" for k in tkey)
+                filled.append("/".join(dst))
+            continue
         if kind == "bn":
             pairs = [
                 ("weight", ("params",) + root + fparts + ("scale",)),
@@ -133,6 +149,10 @@ def apply_entries(
         if w is not None:
             if kind == "conv2d_to_3d":
                 w = np.transpose(w, (2, 3, 1, 0))[None]  # (1, kh, kw, I, O)
+            elif kind == "conv2d_bgr":
+                # absorb the reference's RGB->BGR permute (raft.py:93-95)
+                # into the first conv's input-channel axis
+                w = np.transpose(w, (2, 3, 1, 0))[:, :, ::-1].copy()
             elif kind == "deconv2d":
                 # torch ConvTranspose2d weight (I, O, kh, kw) is applied
                 # spatially FLIPPED relative to flax ConvTranspose
@@ -339,6 +359,9 @@ def convert_reference_checkpoint(
     if flow == "DICL":
         entries += dicl_entries(
             "flow_estimator" if has_flow_prefix else "", "flow_net")
+    elif flow == "RAFT":
+        entries += raft_entries(
+            "flow_estimator" if has_flow_prefix else "", "flow_net")
     elif flow is not None:
         raise NotImplementedError(f"flow estimator port: {flow}")
     if depth == "PSNET":
@@ -353,3 +376,65 @@ def convert_reference_checkpoint(
     new_vars, report = apply_entries(sd, variables, entries)
     report["unused"] = sorted(set(sd) - set(report["consumed"]))
     return new_vars, report
+
+
+def _resblock(t: str, f: str, norm: str, down: bool) -> List[Entry]:
+    # ref `ResidualBlock` (extractor.py:6-56); instance norms are
+    # affine=False in torch (no tensors) — our GroupNorm scale/bias stay
+    # at their identity init, which is the same function
+    e: List[Entry] = [("conv2d", f"{t}.conv1", f"{f}/Conv_0"),
+                      ("conv2d", f"{t}.conv2", f"{f}/Conv_1")]
+    if norm == "batch":
+        e += [("bn", f"{t}.norm1", f"{f}/BatchNorm_0"),
+              ("bn", f"{t}.norm2", f"{f}/BatchNorm_1")]
+    if down:
+        e += [("conv2d", f"{t}.downsample.0", f"{f}/Conv_2")]
+        if norm == "batch":
+            e += [("bn", f"{t}.downsample.1", f"{f}/BatchNorm_2")]
+    return e
+
+
+def basic_encoder_entries(t: str, f: str, norm: str) -> List[Entry]:
+    """RAFT `BasicEncoder` (extractor.py:118-185).
+
+    conv1 gets kind conv2d_bgr: the reference permutes inputs to BGR
+    before the encoders (raft.py:93-95); permuting conv1's input-channel
+    axis absorbs that exactly, so our RGB inputs reproduce the torch
+    activations bit-for-bit (modulo float assoc).
+    """
+    e: List[Entry] = [("conv2d_bgr", f"{t}.conv1", f"{f}/Conv_0")]
+    if norm == "batch":
+        e += [("bn", f"{t}.norm1", f"{f}/BatchNorm_0")]
+    blk = 0
+    for layer in ("layer1", "layer2", "layer3"):
+        for b in range(2):
+            down = layer != "layer1" and b == 0
+            e += _resblock(f"{t}.{layer}.{b}", f"{f}/ResBlock_{blk}", norm, down)
+            blk += 1
+    e += [("conv2d", f"{t}.conv2", f"{f}/Conv_1")]
+    return e
+
+
+def raft_entries(t: str = "flow_estimator", f: str = "flow_net") -> List[Entry]:
+    """RAFT (models/RAFT/core/): fnet/cnet encoders + BasicUpdateBlock.
+
+    Our SepConvGRU fuses the z and r convs per direction and the
+    flow/mask heads' first convs (one MXU pass each inside the scanned
+    GRU body) — conv2d_cat rebuilds the fused kernels by concatenating
+    the torch tensors along Cout.
+    """
+    e = basic_encoder_entries(f"{t}.fnet", f"{f}/fnet", "instance")
+    e += basic_encoder_entries(f"{t}.cnet", f"{f}/cnet", "batch")
+    u_t, u_f = f"{t}.update_block", f"{f}/UpdateBlock_0"
+    me = f"{u_f}/MotionEncoder_0"
+    for i, name in enumerate(("convc1", "convc2", "convf1", "convf2", "conv")):
+        e += [("conv2d", f"{u_t}.encoder.{name}", f"{me}/Conv_{i}")]
+    gru = f"{u_f}/SepConvGRU_0"
+    e += [("conv2d_cat", (f"{u_t}.gru.convz1", f"{u_t}.gru.convr1"), f"{gru}/Conv_0"),
+          ("conv2d", f"{u_t}.gru.convq1", f"{gru}/Conv_1"),
+          ("conv2d_cat", (f"{u_t}.gru.convz2", f"{u_t}.gru.convr2"), f"{gru}/Conv_2"),
+          ("conv2d", f"{u_t}.gru.convq2", f"{gru}/Conv_3"),
+          ("conv2d_cat", (f"{u_t}.flow_head.conv1", f"{u_t}.mask.0"), f"{u_f}/Conv_0"),
+          ("conv2d", f"{u_t}.flow_head.conv2", f"{u_f}/Conv_1"),
+          ("conv2d", f"{u_t}.mask.2", f"{u_f}/Conv_2")]
+    return e

@@ -189,10 +189,22 @@ def test_deconv_numeric_parity():
 
 
 def _synth_sd_from_entries(entries, variables, rng, scale=0.05):
-    inv = {"conv2d": (3, 2, 0, 1), "conv3d": (4, 3, 0, 1, 2), "linear": (1, 0)}
+    inv = {"conv2d": (3, 2, 0, 1), "conv2d_bgr": (3, 2, 0, 1),
+           "conv3d": (4, 3, 0, 1, 2), "linear": (1, 0)}
     sd = {}
     for kind, tkey, fpath in entries:
         parts = tuple(p for p in fpath.split("/") if p)
+        if kind == "conv2d_cat":
+            n = variables["params"]
+            for p_ in parts:
+                n = n[p_]
+            kh, kw, ci, co = n["kernel"].shape
+            half = co // len(tkey)
+            for k in tkey:
+                sd[f"{k}.weight"] = (scale * rng.randn(half, ci, kh, kw)).astype(np.float32)
+                if "bias" in n:
+                    sd[f"{k}.bias"] = (scale * rng.randn(half)).astype(np.float32)
+            continue
         if kind == "bn":
             n = variables["params"]
             for p in parts:
@@ -291,3 +303,81 @@ def test_full_sfmnet_checkpoint_roundtrip():
         if ("flow_net" in k or "depth_net" in k) and np.array_equal(
                 flat_old[k], np.asarray(leaf)):
             raise AssertionError(f"leaf not ported: {k}")
+
+
+def test_fused_gru_port_matches_torch_gru():
+    """One SepConvGRU direction: torch z/r/q convs vs our fused-zr module."""
+    torch.manual_seed(4)
+    hid, inp = 16, 24
+    convz = torch.nn.Conv2d(hid + inp, hid, (1, 5), padding=(0, 2))
+    convr = torch.nn.Conv2d(hid + inp, hid, (1, 5), padding=(0, 2))
+    convq = torch.nn.Conv2d(hid + inp, hid, (1, 5), padding=(0, 2))
+    convz2 = torch.nn.Conv2d(hid + inp, hid, (5, 1), padding=(2, 0))
+    convr2 = torch.nn.Conv2d(hid + inp, hid, (5, 1), padding=(2, 0))
+    convq2 = torch.nn.Conv2d(hid + inp, hid, (5, 1), padding=(2, 0))
+
+    h_t = torch.randn(1, hid, 6, 8)
+    x_t = torch.randn(1, inp, 6, 8)
+
+    def direction(h, x, cz, cr, cq):
+        hx = torch.cat([h, x], dim=1)
+        z = torch.sigmoid(cz(hx))
+        r = torch.sigmoid(cr(hx))
+        q = torch.tanh(cq(torch.cat([r * h, x], dim=1)))
+        return (1 - z) * h + z * q
+
+    h1 = direction(h_t, x_t, convz, convr, convq)
+    y_t = _to_np(direction(h1, x_t, convz2, convr2, convq2)).transpose(0, 2, 3, 1)
+
+    from deep_sfm_revisited_tpu.models.raft import SepConvGRU
+
+    mod = SepConvGRU(hid)
+    h_j = jnp.asarray(_to_np(h_t).transpose(0, 2, 3, 1))
+    x_j = jnp.asarray(_to_np(x_t).transpose(0, 2, 3, 1))
+    variables = mod.init(jax.random.PRNGKey(0), h_j, x_j)
+
+    sd = {}
+    for name, c in (("gru.convz1", convz), ("gru.convr1", convr),
+                    ("gru.convq1", convq), ("gru.convz2", convz2),
+                    ("gru.convr2", convr2), ("gru.convq2", convq2)):
+        sd[f"{name}.weight"] = _to_np(c.weight)
+        sd[f"{name}.bias"] = _to_np(c.bias)
+    entries = [("conv2d_cat", ("gru.convz1", "gru.convr1"), "Conv_0"),
+               ("conv2d", "gru.convq1", "Conv_1"),
+               ("conv2d_cat", ("gru.convz2", "gru.convr2"), "Conv_2"),
+               ("conv2d", "gru.convq2", "Conv_3")]
+    ported, report = tp.apply_entries(sd, variables, entries)
+    assert not report["missing"]
+    y_j = np.asarray(mod.apply(ported, h_j, x_j))
+    np.testing.assert_allclose(y_j, y_t, atol=1e-5)
+
+
+def test_raft_entry_table_covers_every_param_leaf():
+    """The RAFT table must fill every PARAM leaf except the instance-norm
+    GroupNorm scale/bias (torch InstanceNorm2d is affine=False — those
+    stay at their identity init by design)."""
+    from deep_sfm_revisited_tpu.models.raft import RAFT
+
+    cfg = SfMConfig.kitti().override(**{"flow.raft_iters_eval": 2}).flow
+    net = RAFT(cfg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)),
+                         False)
+    entries = tp.raft_entries("flow_estimator", "")
+    sd = _synth_sd_from_entries(entries, variables, np.random.RandomState(3))
+    ported, report = tp.apply_entries(sd, variables, entries)
+    assert not report["missing"], report["missing"][:8]
+    assert set(report["consumed"]) == set(sd.keys())
+
+    flat_new = jax.tree_util.tree_flatten_with_path(ported)[0]
+    flat_old = {jax.tree_util.keystr(p): np.asarray(v)
+                for p, v in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    skipped = []
+    for path, leaf in flat_new:
+        k = jax.tree_util.keystr(path)
+        if np.array_equal(flat_old[k], np.asarray(leaf)):
+            skipped.append(k)
+    assert all("GroupNorm" in k for k in skipped), [
+        k for k in skipped if "GroupNorm" not in k][:8]
+
+    flow, conf = net.apply(ported, 0.1 + jnp.zeros((1, 64, 64, 6)), False)
+    assert np.isfinite(np.asarray(flow)).all()
