@@ -47,8 +47,9 @@ class PlainPose(nn.Module):
     @nn.compact
     def __call__(self, flow, ref, target, conf=None, train: bool = False):
         d = self.dtype
-        x1 = _SharedEncoder(dtype=d, name="frame_enc")(ref, train)
-        x2 = _SharedEncoder(dtype=d, name="frame_enc")(target, train)
+        enc = _SharedEncoder(dtype=d, name="frame_enc")
+        x1 = enc(ref, train)
+        x2 = enc(target, train)
 
         hw = x1.shape[1:3]
         flow_d = resize_bilinear(flow.astype(d), hw)

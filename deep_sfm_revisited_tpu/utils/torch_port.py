@@ -438,3 +438,24 @@ def raft_entries(t: str = "flow_estimator", f: str = "flow_net") -> List[Entry]:
           ("conv2d", f"{u_t}.flow_head.conv2", f"{u_f}/Conv_1"),
           ("conv2d", f"{u_t}.mask.2", f"{u_f}/Conv_2")]
     return e
+
+
+def plainpose_entries(t: str = "posenet", f: str = "pose_net") -> List[Entry]:
+    """`PlainPose` (PoseNet.py:13-68): biased conv+BN+ReLU stacks.
+
+    torch `posenet.conv.{i}.{0,1}` (shared frame encoder),
+    `posenet.pose_agg.{i}.{0,1}`, `posenet.pose_reg` (1x1, bias).
+    """
+    e: List[Entry] = []
+    for i in range(7):
+        e += [("conv2d", f"{t}.conv.{i}.0",
+               f"{f}/frame_enc/_ConvBNRelu_{i}/Conv_0"),
+              ("bn", f"{t}.conv.{i}.1",
+               f"{f}/frame_enc/_ConvBNRelu_{i}/BatchNorm_0")]
+    for i in range(5):
+        e += [("conv2d", f"{t}.pose_agg.{i}.0",
+               f"{f}/_ConvBNRelu_{i}/Conv_0"),
+              ("bn", f"{t}.pose_agg.{i}.1",
+               f"{f}/_ConvBNRelu_{i}/BatchNorm_0")]
+    e += [("conv2d", f"{t}.pose_reg", f"{f}/Conv_0")]
+    return e

@@ -381,3 +381,25 @@ def test_raft_entry_table_covers_every_param_leaf():
 
     flow, conf = net.apply(ported, 0.1 + jnp.zeros((1, 64, 64, 6)), False)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_plainpose_entry_table_covers_every_leaf():
+    from deep_sfm_revisited_tpu.models.posenet import PlainPose
+
+    net = PlainPose()
+    flow = jnp.zeros((1, 64, 64, 2))
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = net.init(jax.random.PRNGKey(0), flow, img, img)
+    entries = tp.plainpose_entries("posenet", "")
+    sd = _synth_sd_from_entries(entries, variables, np.random.RandomState(4))
+    ported, report = tp.apply_entries(sd, variables, entries)
+    assert not report["missing"], report["missing"][:8]
+    assert set(report["consumed"]) == set(sd.keys())
+    flat_new = jax.tree_util.tree_flatten_with_path(ported)[0]
+    flat_old = {jax.tree_util.keystr(p): np.asarray(v)
+                for p, v in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    for path, leaf in flat_new:
+        k = jax.tree_util.keystr(path)
+        assert not np.array_equal(flat_old[k], np.asarray(leaf)), k
+    out = net.apply(ported, flow, img, img)
+    assert out.shape == (1, 6) and np.isfinite(np.asarray(out)).all()
