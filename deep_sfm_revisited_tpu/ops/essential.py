@@ -137,6 +137,30 @@ def _nullspace4(A: jnp.ndarray) -> jnp.ndarray:
     return nullspace(A, null_dim=4)
 
 
+# --- evaluation-interpolation setup for the cubic constraint matrix ----
+# The 10 constraint polynomials have degree <= 3 in (x, y, z), i.e. live
+# in the 20-dim monomial space. Instead of assembling coefficients by
+# symbolic triple products (tiny (4,4,4,20)-tensor einsums in emulated
+# f64 — latency-bound on TPU), EVALUATE the constraints at 20 fixed
+# points (pure elementwise math on a (..., 20) lane axis) and recover
+# coefficients with one (..., 10, 20) @ (20, 20) matmul. The points
+# below (unit directions x radii 0.6..1.6, seed 17) give a Vandermonde
+# condition number of ~80, so f64 interpolation is essentially exact.
+def _eval_interp_setup():
+    rng = np.random.RandomState(17)
+    pts = rng.randn(20, 3)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= np.linspace(0.6, 1.6, 20)[:, None]
+    V = np.stack(
+        [np.prod(pts ** np.asarray(m), axis=1) for m in _MONOMIALS], axis=1
+    )  # (20 pts, 20 monomials)
+    coef = np.concatenate([pts, np.ones((20, 1))], axis=1)  # (20, [x y z 1])
+    return coef, np.linalg.inv(V).T  # interp: coeffs = vals @ Vinv.T
+
+
+_EVAL_COEF, _VINV_T = _eval_interp_setup()
+
+
 def _constraint_matrix(EB: jnp.ndarray) -> jnp.ndarray:
     """The 10 cubic constraints as a (..., 10, 20) coefficient matrix.
 
@@ -144,6 +168,49 @@ def _constraint_matrix(EB: jnp.ndarray) -> jnp.ndarray:
     [x, y, z, 1]. Constraints: det(E) = 0 and
     2 E E^T E - tr(E E^T) E = 0 (`EEeqns_5pt`,
     `essential_matrix_5pt.cu:428`; `polydet4` `:317`; `traceEEt` `:335`).
+    Computed by evaluation at 20 fixed points + interpolation (see setup
+    above); bit-compared against the symbolic triple-product assembly in
+    tests/test_essential.py.
+    """
+    dtype = EB.dtype
+    coef = jnp.asarray(_EVAL_COEF, dtype)   # (20, 4)
+    vinv_t = jnp.asarray(_VINV_T, dtype)    # (20, 20)
+
+    # E at each evaluation point, as 9 separate (..., 20) lane vectors —
+    # batched 3x3 f64 matmuls lower terribly (measured 80 ms at H=2560),
+    # so the whole EEt / G / det algebra is hand-expanded elementwise.
+    Ep = jnp.einsum("pa,...aij->...ijp", coef, EB)  # (..., 3, 3, 20)
+    e = [[Ep[..., i, j, :] for j in range(3)] for i in range(3)]
+
+    # s_ij = (E E^T)_ij = sum_k e_ik e_jk (symmetric, 6 unique)
+    s = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            s[i][j] = s[j][i] = (
+                e[i][0] * e[j][0] + e[i][1] * e[j][1] + e[i][2] * e[j][2]
+            )
+    tr = s[0][0] + s[1][1] + s[2][2]
+
+    # G_ij = 2 sum_l s_il e_lj - tr e_ij
+    G = [
+        2.0 * (s[i][0] * e[0][j] + s[i][1] * e[1][j] + s[i][2] * e[2][j])
+        - tr * e[i][j]
+        for i in range(3)
+        for j in range(3)
+    ]
+    det = (
+        e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+        - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+        + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
+    )
+
+    vals = jnp.stack([det] + G, axis=-2)  # (..., 10 constraints, 20 pts)
+    return vals @ vinv_t  # (..., 10, 20 monomial coeffs)
+
+
+def _constraint_matrix_symbolic(EB: jnp.ndarray) -> jnp.ndarray:
+    """Reference implementation by symbolic triple products (kept for the
+    equivalence test; the evaluation form above is the production path).
     """
     T3 = jnp.asarray(_T3, EB.dtype)
 

@@ -62,8 +62,10 @@ def depth_training_loss(
     if rescale_depth:
         scale_ok = (scale > min_train_scale) & (scale < max_train_scale)
         ratio = (scale / norm_target)[:, None, None]
+        # the reference rescales ONLY the refined output; depth_init is
+        # supervised at the NORM_TARGET scale as-is (`main.py:364` touches
+        # depth_bw alone before both enter the smooth-L1 at `:387-388`)
         depth = depth * ratio
-        depth_init = depth_init * ratio
     else:
         scale_ok = scale > min_train_scale
     mask = valid & scale_ok[:, None, None]
@@ -137,25 +139,39 @@ def multiscale_flow_loss(
     flow_gt: jnp.ndarray,     # (B, H, W, 2) full-res GT
     weights,                  # per-level loss weights (ref MultiScale_W)
     valid: Optional[jnp.ndarray] = None,
+    valid_range=None,         # per-level (vy, vx) GT-magnitude gates
 ) -> jnp.ndarray:
     """Multiscale L1 flow loss (≙ `MultiScale_UP`, loss_functions.py:15-62).
 
-    GT is average-pooled (and flow-magnitude rescaled) to each level.
+    Reference semantics: each prediction is compared at FULL resolution
+    (the DICL `all_iters` stack already arrives upsampled + value-scaled,
+    ≙ `realflow` at :24-26); with `valid_range`, pixels whose GT
+    magnitude exceeds the level's range are ZEROED but still counted in
+    the mean (`lossvalue*mask; lossvalue.mean()`, :44-55), and the total
+    is divided by the number of levels (:58). Levels whose prediction is
+    not full-res are average-pool-downsampled GT comparisons instead.
     """
     B, H, W, _ = flow_gt.shape
     total = 0.0
-    for w_lvl, pred in zip(weights, flow_pyramid):
+    n = 0
+    for i, (w_lvl, pred) in enumerate(zip(weights, flow_pyramid)):
         h, wdt = pred.shape[1], pred.shape[2]
         fy, fx = H // h, W // wdt
         gt = flow_gt.reshape(B, h, fy, wdt, fx, 2).mean(axis=(2, 4))
         gt = gt / jnp.asarray([fx, fy], flow_gt.dtype)
         l1 = jnp.sum(jnp.abs(pred - gt), axis=-1)
+        mask = jnp.ones(l1.shape, bool)
+        if valid_range is not None and i < len(valid_range):
+            vy, vx = valid_range[i]
+            mask = mask & (jnp.abs(gt[..., 0]) <= vx) & (jnp.abs(gt[..., 1]) <= vy)
         if valid is not None:
             vv = valid.reshape(B, h, fy, wdt, fx).mean(axis=(2, 4)) > 0.5
-            total = total + w_lvl * _masked_mean(l1, vv)
+            total = total + w_lvl * _masked_mean(jnp.where(mask, l1, 0.0), vv)
         else:
-            total = total + w_lvl * jnp.mean(l1)
-    return total
+            # zeroed-but-counted mean, as the reference
+            total = total + w_lvl * jnp.mean(jnp.where(mask, l1, 0.0))
+        n += 1
+    return total / max(n, 1)
 
 
 # ---------------------------------------------------------------------------

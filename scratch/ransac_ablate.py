@@ -17,7 +17,7 @@ from deep_sfm_revisited_tpu.ops import essential as es
 from deep_sfm_revisited_tpu.ops.linalg64 import gauss_solve, nullspace
 from deep_sfm_revisited_tpu.ops.polyroots import real_roots
 
-B, H, N = 1, 512, 1024
+B, H, N = 1, 2560, 1024
 ITERS = 6
 
 
@@ -108,5 +108,5 @@ timeit("decompose+cheirality (winner)", es.decompose_essential, Ef[:, 0], x1, x2
 timeit("polish 5 iters", lambda E0, x1, x2: jax.vmap(
     lambda e, a, b: es.polish_essential(e, a, b, iters=5))(E0, x1, x2), Ef[:, 0], x1, x2)
 timeit("ransac_pose TOTAL", lambda x1, x2: es.ransac_pose(
-    x1, x2, jax.random.PRNGKey(1), num_hypotheses=512, ransac_iter=1,
+    x1, x2, jax.random.PRNGKey(1), num_hypotheses=512, ransac_iter=5,
     polish=True, polish_iters=5), x1, x2)

@@ -190,3 +190,14 @@ def test_exp_so3_reverse_grad_at_zero():
         jnp.zeros(3, F64)
     )
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_constraint_matrix_eval_equals_symbolic():
+    """The evaluation-interpolation constraint assembly must match the
+    symbolic triple-product form to interpolation precision (cond ~80)."""
+    key = jax.random.PRNGKey(3)
+    EB = jax.random.normal(key, (7, 4, 3, 3), F64)
+    a = ess._constraint_matrix(EB)
+    b = ess._constraint_matrix_symbolic(EB)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-11, atol=1e-11)
