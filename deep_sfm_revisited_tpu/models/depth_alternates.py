@@ -113,7 +113,8 @@ def _upsample_regress(cost, nlabel, min_depth, H, W):
     """Trilinear upsample + softmax + inverse-depth soft-argmax."""
     B, D, h, w = cost.shape
     v = cost.reshape(B * D, h, w, 1).astype(jnp.float32)
-    v = resize_bilinear(v, (H, W)).reshape(B, D, H, W)
+    # trilinear default (align_corners=False), ref PANet.py:158/REGNet.py:211
+    v = resize_bilinear(v, (H, W), align_corners=False).reshape(B, D, H, W)
     prob = jax.nn.softmax(v, axis=1)
     disp = soft_argmax_disparity(prob, nlabel)
     return min_depth * nlabel / (disp + 1e-16)

@@ -214,7 +214,10 @@ class PSNet(nn.Module):
             # over H, W with shared plane weights.
             v = vol[..., 0].astype(jnp.float32)  # (B, D, h4, w4)
             v = v.reshape(B * nlabel, h4, w4, 1)
-            v = resize_bilinear(v, (H, W)).reshape(B, nlabel, H, W)
+            # torch trilinear WITHOUT align_corners (PSNet.py:194,207 omit it,
+            # so torch defaults to half-pixel centers)
+            v = resize_bilinear(v, (H, W), align_corners=False)
+            v = v.reshape(B, nlabel, H, W)
             prob = jax.nn.softmax(v, axis=1)
             if cfg.predict_by_depth:
                 return soft_argmax_depth(prob, nlabel, min_depth)

@@ -191,22 +191,46 @@ def _interp_matrix(n_out: int, n_in: int) -> jnp.ndarray:
     return jnp.asarray(M)
 
 
-def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
-    """align_corners=True bilinear resize of (B, H, W, C).
+def _interp_matrix_hp(n_out: int, n_in: int) -> jnp.ndarray:
+    """Dense 1-D align_corners=False (half-pixel) interpolation matrix.
 
-    torch `F.interpolate(..., align_corners=True)` maps output corner
-    pixels to input corner pixels. Implemented as two separable
-    interpolation matmuls (out = A_y x A_x^T per channel) so the work
-    lands on the MXU — the naive per-pixel gather formulation is orders
-    of magnitude slower on TPU (measured ~3 s for PSNet's 128-plane
-    cost-volume upsample vs ~milliseconds as matmuls).
+    torch's default `F.interpolate(..., align_corners=False)` maps output
+    sample centers by (i + 0.5) * n_in / n_out - 0.5, clamped to the
+    valid range (border replication at the edges).
+    """
+    import numpy as np
+
+    pos = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    pos = np.clip(pos, 0.0, n_in - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = pos - lo
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), lo] += 1.0 - frac
+    M[np.arange(n_out), hi] += frac
+    return jnp.asarray(M)
+
+
+def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int],
+                    align_corners: bool = True) -> jnp.ndarray:
+    """Bilinear resize of (B, H, W, C), matching torch `F.interpolate`.
+
+    align_corners=True maps output corner pixels to input corner pixels;
+    False (torch's default — the reference's cost-volume trilinear
+    upsamples, `models/PSNet.py:194,207`, omit align_corners) uses
+    half-pixel centers. Implemented as two separable interpolation
+    matmuls (out = A_y x A_x^T per channel) so the work lands on the MXU
+    — the naive per-pixel gather formulation is orders of magnitude
+    slower on TPU (measured ~3 s for PSNet's 128-plane cost-volume
+    upsample vs ~milliseconds as matmuls).
     """
     B, H, W, C = x.shape
     h, w = hw
     if (h, w) == (H, W):
         return x
-    Ay = _interp_matrix(h, H).astype(x.dtype)
-    Ax = _interp_matrix(w, W).astype(x.dtype)
+    mk = _interp_matrix if align_corners else _interp_matrix_hp
+    Ay = mk(h, H).astype(x.dtype)
+    Ax = mk(w, W).astype(x.dtype)
     out = jnp.einsum("oh,bhwc->bowc", Ay, x,
                      preferred_element_type=jnp.float32)
     out = jnp.einsum("pw,bowc->bopc", Ax, out,

@@ -403,3 +403,37 @@ def test_plainpose_entry_table_covers_every_leaf():
         assert not np.array_equal(flat_old[k], np.asarray(leaf)), k
     out = net.apply(ported, flow, img, img)
     assert out.shape == (1, 6) and np.isfinite(np.asarray(out)).all()
+
+
+def test_resize_bilinear_matches_torch_both_modes():
+    from deep_sfm_revisited_tpu.models.submodules import resize_bilinear
+
+    torch.manual_seed(5)
+    x_t = torch.randn(2, 3, 24, 40)
+    x_j = jnp.asarray(_to_np(x_t).transpose(0, 2, 3, 1))
+    for ac in (True, False):
+        for hw in ((96, 160), (13, 27)):
+            y_t = torch.nn.functional.interpolate(
+                x_t, hw, mode="bilinear", align_corners=ac)
+            y_t = _to_np(y_t).transpose(0, 2, 3, 1)
+            y_j = np.asarray(resize_bilinear(x_j, hw, align_corners=ac))
+            np.testing.assert_allclose(y_j, y_t, atol=1e-5,
+                                       err_msg=f"ac={ac} hw={hw}")
+
+
+def test_trilinear_cost_upsample_matches_torch():
+    """The PSNet regress() upsample == torch F.interpolate trilinear with
+    D unchanged and default align_corners=False (PSNet.py:194,207)."""
+    from deep_sfm_revisited_tpu.models.submodules import resize_bilinear
+
+    torch.manual_seed(6)
+    v_t = torch.randn(1, 1, 8, 12, 20)  # (B, 1, D, h, w)
+    y_t = torch.nn.functional.interpolate(v_t, [8, 48, 80], mode="trilinear")
+    y_t = _to_np(y_t)[:, 0]  # (B, D, H, W)
+
+    v_j = jnp.asarray(_to_np(v_t))[:, 0]  # (B, D, h, w)
+    B, D, h, w = v_j.shape
+    vj = v_j.reshape(B * D, h, w, 1)
+    y_j = np.asarray(resize_bilinear(vj, (48, 80), align_corners=False)
+                     .reshape(B, D, 48, 80))
+    np.testing.assert_allclose(y_j, y_t, atol=1e-5)
