@@ -63,6 +63,9 @@ class DepthConfig:
     psnet_dep_context: bool = True    # depth-domain context head, ref PSNET_DEP_CONTEXT
     context_bn: bool = False          # BN in context convs, ref CONTEXT_BN
     predict_by_depth: bool = False    # regress depth rather than inverse depth
+    remat: bool = True                # jax.checkpoint the 3D cost stacks
+                                      # (trade FLOPs for HBM at b=32; no-op
+                                      # at inference — no backward pass)
     # pose-scale sampling (PANet/REGNet/DISPNET; ref lib/config.py:184-188)
     scale_min: float = 0.5
     scale_max: float = 1.5

@@ -172,7 +172,13 @@ class PSNet(nn.Module):
         labels = jnp.arange(1, nlabel + 1, dtype=jnp.float32)
         plane_depths = min_depth * nlabel / labels  # (D,), far -> near
 
-        hourglass = Hourglass3D(dtype=d)
+        # rematerialize the big 3D stacks under grad: the (B, D, H/4,
+        # W/4, 32) activations of 12 hourglass convs dominate training
+        # HBM at the reference's b=32 recipe; recomputing them in the
+        # backward pass is the standard TPU memory/FLOP trade
+        HG = (nn.remat(Hourglass3D, static_argnums=(2,)) if cfg.remat
+              else Hourglass3D)
+        hourglass = HG(dtype=d)
         costs = None
         T = targets.shape[1]
         for j in range(T):
@@ -204,7 +210,9 @@ class PSNet(nn.Module):
                 ],
                 axis=-1,
             )
-            costss = ContextNet(1, cfg.context_bn, dtype=d)(ctx_in, train) + costs
+            Ctx = (nn.remat(ContextNet, static_argnums=(2,)) if cfg.remat
+                   else ContextNet)
+            costss = Ctx(1, cfg.context_bn, dtype=d)(ctx_in, train) + costs
         else:
             costss = costs
 

@@ -28,6 +28,7 @@ import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 import optax
 from flax import core, struct
@@ -172,7 +173,9 @@ def make_train_step(model: SFMNet, cfg: SfMConfig):
             aux = dict(aux, flow_loss=fl)
         return loss, (aux, mutated["batch_stats"])
 
-    @jax.jit
+    # donate the state: params/opt-state/batch-stats buffers are consumed
+    # and rewritten every step — donation lets XLA reuse them in place
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key):
         (loss, (aux, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -139,8 +139,9 @@ def test_train_step_descends_and_freezes_flow():
     )
     step = make_train_step(model, cfg)
     batch = g._batch(2, 64, 96)
-    p0_flow = jax.tree_util.tree_leaves(state.params["flow_net"])[0]
-    p0_depth = jax.tree_util.tree_leaves(state.params["depth_net"])[0]
+    # copy: the train step donates the state (buffers reused in place)
+    p0_flow = np.asarray(jax.tree_util.tree_leaves(state.params["flow_net"])[0])
+    p0_depth = np.asarray(jax.tree_util.tree_leaves(state.params["depth_net"])[0])
     state2, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     # flow net frozen (fix_flownet default True in tiny cfg? ensure)
