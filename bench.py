@@ -1,10 +1,12 @@
 """End-to-end throughput benchmark on the real TPU chip.
 
-Measures flagship frame-pairs/sec of the full SFMNet eval pipeline
-(RAFT flow -> on-device f64 five-point RANSAC pose -> PSNet plane-sweep
-depth with nlabel=128) at the KITTI eval configuration (padded 384x1280,
-b=1, bf16 compute; ≙ `README.md:57-61` + `main.py:494-533`). RAFT runs
-24 GRU iterations, the reference's hardcoded eval count (`raft.py:84-87`).
+Measures flagship frame-pairs/sec of the full SFMNet eval pipeline at
+the reference's DEFAULT configuration (DICL flow -> on-device f64
+five-point RANSAC pose over 512x5 hypotheses -> PSNet plane-sweep depth
+with nlabel=128) at the KITTI eval shape (padded 384x1280, b=1, bf16
+compute; ≙ `README.md:57-61` + `main.py:494-533`; FLOW_EST='DICL' is the
+reference default, lib/config.py:178, and what the released
+kitti.pth.tar weights use).
 
 Prints ONE JSON line:
   {"metric": "frame_pairs_per_sec", "value": N, "unit": "pairs/s",
@@ -39,7 +41,6 @@ def main():
     from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
 
     cfg = SfMConfig.kitti(nlabel=128).override(**{
-        "flow.raft_iters_eval": 24,
         "pose.num_hypotheses": 512,
         "pose.ransac_iter": 5,
         "pose.num_correspondences": 1024,

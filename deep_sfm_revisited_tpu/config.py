@@ -169,6 +169,9 @@ class SfMConfig:
         """The shipped KITTI recipe (`cfgs/kitti.yml`, README.md:50-61)."""
         return SfMConfig(
             tag="kitti",
+            # the reference recipe runs DICL flow (FLOW_EST default,
+            # lib/config.py:178 — the released kitti.pth.tar weights)
+            flow=replace(FlowConfig(), estimator="DICL"),
             depth=replace(DepthConfig(), nlabel=nlabel, psnet_dep_context=True),
             train=replace(TrainConfig(), mixed_prec=True, rescale_depth=True),
         )

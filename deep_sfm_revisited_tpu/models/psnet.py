@@ -178,7 +178,10 @@ class PSNet(nn.Module):
         # backward pass is the standard TPU memory/FLOP trade
         HG = (nn.remat(Hourglass3D, static_argnums=(2,)) if cfg.remat
               else Hourglass3D)
-        hourglass = HG(dtype=d)
+        # explicit name: nn.remat wraps the class as "CheckpointX", which
+        # would silently change the param tree (and break checkpoint /
+        # torch-port compatibility) whenever remat is toggled
+        hourglass = HG(dtype=d, name="Hourglass3D_0")
         costs = None
         T = targets.shape[1]
         for j in range(T):
@@ -212,7 +215,8 @@ class PSNet(nn.Module):
             )
             Ctx = (nn.remat(ContextNet, static_argnums=(2,)) if cfg.remat
                    else ContextNet)
-            costss = Ctx(1, cfg.context_bn, dtype=d)(ctx_in, train) + costs
+            costss = Ctx(1, cfg.context_bn, dtype=d,
+                         name="ContextNet_0")(ctx_in, train) + costs
         else:
             costss = costs
 

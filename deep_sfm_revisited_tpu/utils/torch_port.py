@@ -153,6 +153,14 @@ def apply_entries(
                 # absorb the reference's RGB->BGR permute (raft.py:93-95)
                 # into the first conv's input-channel axis
                 w = np.transpose(w, (2, 3, 1, 0))[:, :, ::-1].copy()
+            elif kind == "conv2d_disp_transpose":
+                w = np.transpose(w, (2, 3, 1, 0))  # (1, 1, S2, S2)
+                s2 = w.shape[-1]
+                S = int(round(s2 ** 0.5))
+                # transpose permutation (an involution): ours[v*S+u]
+                # corresponds to torch's [u*S+v]
+                perm = np.arange(s2).reshape(S, S).T.ravel()
+                w = w[:, :, perm][:, :, :, perm]
             elif kind == "deconv2d":
                 # torch ConvTranspose2d weight (I, O, kh, kw) is applied
                 # spatially FLIPPED relative to flax ConvTranspose
@@ -326,8 +334,13 @@ def dicl_entries(t: str = "flow_estimator", f: str = "flow_net") -> List[Entry]:
             e += _basicconv(f"{m_t}.{i}", f"{m_f}/BasicConv_{i}")
         e += _basicconv(f"{m_t}.4", f"{m_f}/BasicConv_4", deconv=True)
         e += [("conv2d", f"{m_t}.5", f"{m_f}/Conv_0")]
-        # cost smoothing (smooth_cost, :324-347): bias-free 1x1
-        e += [("conv2d", f"{t}.cost_smooth{lvl}.smooth_layer.conv",
+        # cost smoothing (smooth_cost, :324-347): bias-free 1x1 over the
+        # (2md+1)^2 displacement axis. The reference flattens (U outer,
+        # V inner) (compute_cost DICL_shallow.py:672-728 + FlowRegression
+        # :271-321); our stack is (v outer, u inner) — same function,
+        # transposed index — so the ported kernel's in/out displacement
+        # axes are permuted by the (u,v)->(v,u) transposition.
+        e += [("conv2d_disp_transpose", f"{t}.cost_smooth{lvl}.smooth_layer.conv",
                f"{f}/Conv_{2 * li}")]
         # context stack (context{lvl}, :409-446): 6 BasicConv + biased conv
         for i in range(6):

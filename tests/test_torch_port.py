@@ -190,6 +190,7 @@ def test_deconv_numeric_parity():
 
 def _synth_sd_from_entries(entries, variables, rng, scale=0.05):
     inv = {"conv2d": (3, 2, 0, 1), "conv2d_bgr": (3, 2, 0, 1),
+           "conv2d_disp_transpose": (3, 2, 0, 1),
            "conv3d": (4, 3, 0, 1, 2), "linear": (1, 0)}
     sd = {}
     for kind, tkey, fpath in entries:
@@ -437,3 +438,34 @@ def test_trilinear_cost_upsample_matches_torch():
     y_j = np.asarray(resize_bilinear(vj, (48, 80), align_corners=False)
                      .reshape(B, D, 48, 80))
     np.testing.assert_allclose(y_j, y_t, atol=1e-5)
+
+
+def test_cost_smoothing_displacement_permutation():
+    """The ported 49x49 smoothing kernel must act on our (v-outer)
+    displacement flattening exactly as the torch kernel acts on the
+    reference's (u-outer) flattening."""
+    S = 7
+    conv = torch.nn.Conv2d(S * S, S * S, 1, bias=False)
+    torch.manual_seed(7)
+    with torch.no_grad():
+        conv.weight.normal_()
+    conv.eval()
+    cost = torch.randn(1, S, S, 5, 6)  # (B, u, v, H, W)
+
+    # reference: flatten u-outer, smooth, unflatten
+    y_t = conv(cost.reshape(1, S * S, 5, 6)).reshape(1, S, S, 5, 6)
+    y_t = _to_np(y_t)
+
+    # ours: flatten v-outer (transpose), ported kernel, unflatten v-outer
+    sd = {"sm.weight": _to_np(conv.weight)}
+    from flax import linen as nn
+
+    mod = nn.Conv(S * S, (1, 1), use_bias=False)
+    x_o = _to_np(cost.permute(0, 2, 1, 3, 4).reshape(1, S * S, 5, 6))
+    x_o = jnp.asarray(x_o.transpose(0, 2, 3, 1))  # NHWC
+    variables = mod.init(jax.random.PRNGKey(0), x_o)
+    ported, _ = tp.apply_entries(sd, variables,
+                                 [("conv2d_disp_transpose", "sm", "")])
+    y_o = np.asarray(mod.apply(ported, x_o))  # (1, 5, 6, S2) v-outer
+    y_o = y_o.transpose(0, 3, 1, 2).reshape(1, S, S, 5, 6)  # (B, v, u, H, W)
+    np.testing.assert_allclose(y_o.transpose(0, 2, 1, 3, 4), y_t, atol=1e-5)
