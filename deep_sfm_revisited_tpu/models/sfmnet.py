@@ -51,6 +51,9 @@ class SFMNet(nn.Module):
     hyp_sharding: Any = None
     # optional NamedSharding for PSNet's plane-sweep cost volume
     cost_sharding: Any = None
+    # optional NamedSharding over (batch, point) sharding RANSAC's
+    # test-point axis: scoring + polish normal equations psum over chips
+    point_sharding: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -205,6 +208,7 @@ class SFMNet(nn.Module):
             polish_iters=cfg.polish_iters,
             huber_delta=cfg.polish_huber_delta,
             hyp_sharding=self.hyp_sharding,
+            point_sharding=self.point_sharding,
         )
         if cfg.differentiable:
             w = jax.lax.stop_gradient(

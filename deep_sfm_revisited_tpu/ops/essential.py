@@ -6,14 +6,16 @@ TPU-native replacement for the reference's entire CUDA extension
   * `five_point_candidates`  <- Nister minimal solver
     (`essential_matrix_5pt.cu:1224` entry; nullspace `:538-678`; the ten
     cubic constraints `:317-428`; degree-10 determinant `:935`) — here the
-    constraint coefficients are assembled with one precomputed (4,4,4,20)
-    monomial-product tensor contraction instead of hand-rolled polynomial
-    classes, and the Gauss-Jordan reduction is a batched 10x10
-    `jnp.linalg.solve`;
-  * root finding              <- ops/polyroots.py (replaces `sturm.cu`);
+    constraint coefficients are recovered by EVALUATION-INTERPOLATION
+    (elementwise evaluation at 20 fixed points + one (10,20)@(20,20)
+    interpolation matmul; the symbolic triple-product assembly is kept as
+    the test oracle), and the Gauss-Jordan reduction is a batched
+    partial-pivot elimination (ops/linalg64.gauss_solve);
+  * root finding              <- ops/polyroots.py (replaces `sturm.cu`):
+    f32 sign-sweep bracketing + fixed bisection + f64 Newton polish;
   * `decompose_essential`     <- cheirality test (`cheirality.cu:4-214`),
-    via symmetric eigendecomposition of E E^T (TPU has no general SVD
-    kernel in f64; eigh is enough because E's singular values are known);
+    with closed-form U, V from cross products (valid because an essential
+    matrix has singular values (s, s, 0) — no iterative factorization);
   * `sampson_error` + `ransac_pose` <- the 512-thread RANSAC drivers
     (`essential_matrix.cu:121-123,190-279`, scoring
     `kernel_functions.cu:231-264`) — the per-thread loop becomes one flat
@@ -590,6 +592,7 @@ def ransac_pose(
     polish_iters: int = 10,
     huber_delta: float = 1e-3,
     hyp_sharding=None,
+    point_sharding=None,
 ):
     """Batched five-point RANSAC.
 
@@ -627,6 +630,13 @@ def ransac_pose(
     if hyp_sharding is not None:
         s1 = jax.lax.with_sharding_constraint(s1, hyp_sharding)
         s2 = jax.lax.with_sharding_constraint(s2, hyp_sharding)
+    if point_sharding is not None:
+        # shard the test-point axis over the mesh: XLA then reduces the
+        # Sampson inlier counts AND the polish Gauss-Newton normal
+        # equations (J^T W J, J^T W r — the Schur-reduced LM system of
+        # BASELINE.json config #5) with psum collectives over ICI
+        x1 = jax.lax.with_sharding_constraint(x1, point_sharding)
+        x2 = jax.lax.with_sharding_constraint(x2, point_sharding)
 
     E, valid = five_point_candidates(s1, s2)  # (B, H, 10, 3, 3), (B, H, 10)
     C = H * 10
