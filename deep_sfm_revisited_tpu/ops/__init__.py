@@ -28,6 +28,7 @@ from deep_sfm_revisited_tpu.ops.flow_ops import (  # noqa: F401
 )
 from deep_sfm_revisited_tpu.ops.essential import (  # noqa: F401
     five_point_candidates,
+    six_point_candidate,
     decompose_essential,
     essential_from_rt,
     sampson_error,

@@ -802,3 +802,124 @@ def refine_essential_implicit(E0, x1, x2, weights, iters: int = 10,
     end-to-end through the RANSAC refinement.
     """
     return _make_refine(int(iters), float(huber_delta))(E0, x1, x2, weights)
+
+
+# ---------------------------------------------------------------------------
+# six-point solver (≙ essential_matrix_6pt.cu — compiled out in the
+# reference, kernel_functions.cu:13, but part of the native inventory)
+# ---------------------------------------------------------------------------
+
+# monomials of degree <= 3 in (x, y), highest degree first; (1,0,0) basis
+_MON2 = [(3, 0), (2, 1), (1, 2), (0, 3), (2, 0), (1, 1), (0, 2),
+         (1, 0), (0, 1), (0, 0)]
+_M2_X = _MON2.index((1, 0))
+_M2_Y = _MON2.index((0, 1))
+_M2_1 = _MON2.index((0, 0))
+
+
+def _eval_interp_setup_2var():
+    # seed 131: Vandermonde condition ~19 over the 10-monomial basis
+    rng = np.random.RandomState(131)
+    pts = rng.randn(10, 2)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts *= np.linspace(0.6, 1.6, 10)[:, None]
+    V = np.stack(
+        [np.prod(pts ** np.asarray(m), axis=1) for m in _MON2], axis=1
+    )
+    coef = np.concatenate([pts, np.ones((10, 1))], axis=1)  # (10, [x y 1])
+    return coef, np.linalg.inv(V).T
+
+
+_EVAL2_COEF, _VINV2_T = _eval_interp_setup_2var()
+
+
+def _constraints_2var(EB3: jnp.ndarray) -> jnp.ndarray:
+    """10 cubic constraints of E(x, y) = x X + y Y + Z as (..., 10, 10).
+
+    EB3 (..., 3, 3, 3): nullspace basis [X, Y, Z]. Same
+    evaluation-interpolation scheme as the five-point path, over the
+    2-variable monomial basis _MON2.
+    """
+    dtype = EB3.dtype
+    coef = jnp.asarray(_EVAL2_COEF, dtype)   # (10, 3)
+    vinv_t = jnp.asarray(_VINV2_T, dtype)    # (10, 10)
+    Ep = jnp.einsum("pa,...aij->...ijp", coef, EB3)  # (..., 3, 3, 10)
+    e = [[Ep[..., i, j, :] for j in range(3)] for i in range(3)]
+    s = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            s[i][j] = s[j][i] = (
+                e[i][0] * e[j][0] + e[i][1] * e[j][1] + e[i][2] * e[j][2]
+            )
+    tr = s[0][0] + s[1][1] + s[2][2]
+    G = [
+        2.0 * (s[i][0] * e[0][j] + s[i][1] * e[1][j] + s[i][2] * e[2][j])
+        - tr * e[i][j]
+        for i in range(3)
+        for j in range(3)
+    ]
+    det = (
+        e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+        - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+        + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
+    )
+    vals = jnp.stack([det] + G, axis=-2)  # (..., 10 constraints, 10 pts)
+    return vals @ vinv_t
+
+
+def six_point_candidate(x1: jnp.ndarray, x2: jnp.ndarray,
+                        inverse_iters: int = 4):
+    """Essential matrix from 6 normalized correspondences.
+
+    x1, x2 (..., 6, 2). Returns (E (..., 3, 3), valid (...,)).
+
+    The calibrated 6-point problem is overdetermined (6 epipolar
+    constraints against E's 5 dof): the epipolar nullspace is 3-dim
+    (E = x X + y Y + Z), and the 10 cubic essential constraints stack to
+    M(data) m(x, y) = 0 over the degree-<=3 monomial vector m. With exact
+    data M has a rank-1 null space spanned by the true solution's
+    monomial vector; with noise the smallest singular direction is the
+    total-least-squares surrogate. We recover it with ridge-regularized
+    inverse iteration on M^T M (TPU f64 has no SVD kernel), then read
+    (x, y) off the monomial ratios.
+
+    TPU-native replacement for the reference's compiled-out Nister 6-pt
+    (`essential_matrix_6pt.cu:1-772`, disabled at
+    `kernel_functions.cu:13`): same inputs/outputs, solved by
+    evaluation-interpolation + inverse iteration instead of 772 LoC of
+    polynomial-class algebra.
+    """
+    dtype = x1.dtype
+    ones = jnp.ones_like(x1[..., :1])
+    q1 = jnp.concatenate([x1, ones], axis=-1)
+    q2 = jnp.concatenate([x2, ones], axis=-1)
+    A = jnp.einsum("...ni,...nj->...nij", q2, q1).reshape(q1.shape[:-1] + (9,))
+    basis = nullspace(A, null_dim=3)           # (..., 3, 9)
+    EB3 = basis.reshape(basis.shape[:-1] + (3, 3))
+
+    M = _constraints_2var(EB3)                 # (..., 10, 10)
+    MtM = jnp.swapaxes(M, -1, -2) @ M
+    # scale-aware ridge keeps the solve well-posed for noisy (full-rank) M
+    ridge = 1e-12 * jnp.trace(MtM, axis1=-2, axis2=-1)[..., None, None]
+    MtM = MtM + ridge * jnp.eye(10, dtype=dtype)
+    m = jnp.ones(MtM.shape[:-1], dtype)[..., None]  # (..., 10, 1)
+    for _ in range(inverse_iters):
+        m = gauss_solve(MtM, m)
+        m = m / jnp.maximum(
+            jnp.linalg.norm(m, axis=(-2, -1), keepdims=True), 1e-30
+        )
+    m = m[..., 0]
+    w = m[..., _M2_1]
+    ok = jnp.abs(w) > 1e-12
+    w = jnp.where(ok, w, 1.0)
+    x = m[..., _M2_X] / w
+    y = m[..., _M2_Y] / w
+    E = (
+        x[..., None, None] * EB3[..., 0, :, :]
+        + y[..., None, None] * EB3[..., 1, :, :]
+        + EB3[..., 2, :, :]
+    )
+    nrm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
+    valid = ok & jnp.isfinite(nrm) & (nrm > 1e-30)
+    E = E / jnp.maximum(nrm, 1e-30)[..., None, None]
+    return E, valid

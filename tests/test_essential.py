@@ -201,3 +201,30 @@ def test_constraint_matrix_eval_equals_symbolic():
     b = ess._constraint_matrix_symbolic(EB)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-11, atol=1e-11)
+
+
+def test_six_point_exact_recovery():
+    """Noise-free 6-point problems must recover the true E
+    (≙ the compiled-out essential_matrix_6pt.cu, solved here by
+    eval-interpolation + inverse iteration)."""
+    ok = 0
+    for seed in range(10):
+        x1, x2, R, t, E_true = make_scene(jax.random.PRNGKey(seed),
+                                          n_points=6)
+        E, valid = ess.six_point_candidate(x1, x2)
+        if bool(valid) and e_distance(E, E_true) < 1e-6:
+            ok += 1
+    assert ok >= 9, f"only {ok}/10 exact 6-point recoveries"
+
+
+def test_six_point_batched_and_noisy():
+    x1, x2, R, t, E_true = make_scene(jax.random.PRNGKey(3), n_points=240,
+                                      noise=1e-4)
+    s1 = x1.reshape(40, 6, 2)
+    s2 = x2.reshape(40, 6, 2)
+    E, valid = ess.six_point_candidate(s1, s2)
+    assert E.shape == (40, 3, 3) and valid.shape == (40,)
+    dists = [e_distance(E[i], E_true) for i in range(40) if bool(valid[i])]
+    assert len(dists) >= 30
+    # noisy minimal 6-pt estimates cluster near the truth
+    assert np.median(dists) < 5e-2, np.median(dists)
