@@ -167,12 +167,18 @@ def main(argv=None):
             sd = tp.load_torch_checkpoint(args.pretrained_torch)
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
+            if cfg.flow.estimator not in ("DICL", "RAFT"):
+                raise SystemExit(
+                    f"--pretrained-torch: no port table for flow "
+                    f"estimator {cfg.flow.estimator}")
+            if cfg.depth.estimator != "PSNET":
+                raise SystemExit(
+                    f"--pretrained-torch: no port table for depth "
+                    f"estimator {cfg.depth.estimator}")
             new_vars, report = tp.convert_reference_checkpoint(
                 sd, variables,
-                flow=cfg.flow.estimator if cfg.flow.estimator == "DICL"
-                else None,
-                depth=cfg.depth.estimator if cfg.depth.estimator == "PSNET"
-                else None,
+                flow=cfg.flow.estimator,
+                depth=cfg.depth.estimator,
                 context_bn=cfg.depth.context_bn,
                 dep_context=cfg.depth.psnet_dep_context,
             )

@@ -114,7 +114,7 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     xpair = jnp.concatenate([flat[:, :-1], flat[:, 1:]], axis=-1)  # [x | x+1]
     quad = jnp.concatenate(
         [xpair[:, : -(W + 1)], xpair[:, W + 1 :]], axis=-1
-    )  # [y,x | y,x+1 | y+1,x | y+1,x+1], (B, H*(W+1)+W-1, 4C)
+    )  # [y,x | y,x+1 | y+1,x | y+1,x+1], (B, H*(W+1)-1, 4C)
 
     idx = (y0 * (W + 1) + x0).astype(jnp.int32)
     # indices are pre-clipped; mode="clip" skips XLA's NaN-fill path

@@ -163,6 +163,38 @@ def _eval_interp_setup():
 _EVAL_COEF, _VINV_T = _eval_interp_setup()
 
 
+def _constraint_values(Ep: jnp.ndarray) -> jnp.ndarray:
+    """det(E) and G = 2 E E^T E - tr(E E^T) E at stacked evaluation points.
+
+    Ep (..., 3, 3, P) — E's entries as P-lane vectors. Returns
+    (..., 10, P): [det, G_00..G_22]. Hand-expanded elementwise: batched
+    tiny 3x3 f64 matmuls lower pathologically on TPU (~80 ms at H=2560),
+    while lane-wise algebra costs ~7 ms for the same math.
+    """
+    e = [[Ep[..., i, j, :] for j in range(3)] for i in range(3)]
+    # s_ij = (E E^T)_ij = sum_k e_ik e_jk (symmetric, 6 unique)
+    s = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            s[i][j] = s[j][i] = (
+                e[i][0] * e[j][0] + e[i][1] * e[j][1] + e[i][2] * e[j][2]
+            )
+    tr = s[0][0] + s[1][1] + s[2][2]
+    # G_ij = 2 sum_l s_il e_lj - tr e_ij
+    G = [
+        2.0 * (s[i][0] * e[0][j] + s[i][1] * e[1][j] + s[i][2] * e[2][j])
+        - tr * e[i][j]
+        for i in range(3)
+        for j in range(3)
+    ]
+    det = (
+        e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+        - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+        + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
+    )
+    return jnp.stack([det] + G, axis=-2)  # (..., 10, P)
+
+
 def _constraint_matrix(EB: jnp.ndarray) -> jnp.ndarray:
     """The 10 cubic constraints as a (..., 10, 20) coefficient matrix.
 
@@ -177,37 +209,9 @@ def _constraint_matrix(EB: jnp.ndarray) -> jnp.ndarray:
     dtype = EB.dtype
     coef = jnp.asarray(_EVAL_COEF, dtype)   # (20, 4)
     vinv_t = jnp.asarray(_VINV_T, dtype)    # (20, 20)
-
-    # E at each evaluation point, as 9 separate (..., 20) lane vectors —
-    # batched 3x3 f64 matmuls lower terribly (measured 80 ms at H=2560),
-    # so the whole EEt / G / det algebra is hand-expanded elementwise.
     Ep = jnp.einsum("pa,...aij->...ijp", coef, EB)  # (..., 3, 3, 20)
-    e = [[Ep[..., i, j, :] for j in range(3)] for i in range(3)]
-
-    # s_ij = (E E^T)_ij = sum_k e_ik e_jk (symmetric, 6 unique)
-    s = [[None] * 3 for _ in range(3)]
-    for i in range(3):
-        for j in range(i, 3):
-            s[i][j] = s[j][i] = (
-                e[i][0] * e[j][0] + e[i][1] * e[j][1] + e[i][2] * e[j][2]
-            )
-    tr = s[0][0] + s[1][1] + s[2][2]
-
-    # G_ij = 2 sum_l s_il e_lj - tr e_ij
-    G = [
-        2.0 * (s[i][0] * e[0][j] + s[i][1] * e[1][j] + s[i][2] * e[2][j])
-        - tr * e[i][j]
-        for i in range(3)
-        for j in range(3)
-    ]
-    det = (
-        e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
-        - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
-        + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
-    )
-
-    vals = jnp.stack([det] + G, axis=-2)  # (..., 10 constraints, 20 pts)
-    return vals @ vinv_t  # (..., 10, 20 monomial coeffs)
+    vals = _constraint_values(Ep)           # (..., 10, 20 pts)
+    return vals @ vinv_t                    # (..., 10, 20 monomial coeffs)
 
 
 def _constraint_matrix_symbolic(EB: jnp.ndarray) -> jnp.ndarray:
@@ -844,27 +848,7 @@ def _constraints_2var(EB3: jnp.ndarray) -> jnp.ndarray:
     coef = jnp.asarray(_EVAL2_COEF, dtype)   # (10, 3)
     vinv_t = jnp.asarray(_VINV2_T, dtype)    # (10, 10)
     Ep = jnp.einsum("pa,...aij->...ijp", coef, EB3)  # (..., 3, 3, 10)
-    e = [[Ep[..., i, j, :] for j in range(3)] for i in range(3)]
-    s = [[None] * 3 for _ in range(3)]
-    for i in range(3):
-        for j in range(i, 3):
-            s[i][j] = s[j][i] = (
-                e[i][0] * e[j][0] + e[i][1] * e[j][1] + e[i][2] * e[j][2]
-            )
-    tr = s[0][0] + s[1][1] + s[2][2]
-    G = [
-        2.0 * (s[i][0] * e[0][j] + s[i][1] * e[1][j] + s[i][2] * e[2][j])
-        - tr * e[i][j]
-        for i in range(3)
-        for j in range(3)
-    ]
-    det = (
-        e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
-        - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
-        + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
-    )
-    vals = jnp.stack([det] + G, axis=-2)  # (..., 10 constraints, 10 pts)
-    return vals @ vinv_t
+    return _constraint_values(Ep) @ vinv_t   # (..., 10, 10 monomial coeffs)
 
 
 def six_point_candidate(x1: jnp.ndarray, x2: jnp.ndarray,

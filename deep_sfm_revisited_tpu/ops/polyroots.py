@@ -66,15 +66,19 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
     scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True)
     coeffs = coeffs / jnp.maximum(scale, 1e-30)  # 1e-300 flushes to 0 on TPU f64
 
-    # bracketing dtype: f32 when the input is f64 (see note on _BISECT_ITERS)
+    # bisection dtype: f32 when the input is f64 (see note on
+    # _BISECT_ITERS). The SIGN SWEEP stays in the input dtype — it is one
+    # fully parallel pass (cheap even emulated), and an f32 sweep can miss
+    # sign changes whose inter-sample magnitudes sit below f32 evaluation
+    # noise (close root pairs of near-degenerate samples).
     bdtype = jnp.float32 if dtype == jnp.float64 else dtype
     bcoeffs = coeffs.astype(bdtype)
 
     half_pi = jnp.asarray(jnp.pi / 2, bdtype)
     eps = jnp.asarray(1e-7, bdtype)
     theta = jnp.linspace(-half_pi + eps, half_pi - eps, _GRID).astype(bdtype)
-    s, c = jnp.sin(theta), jnp.cos(theta)
-    vals = _eval_homogeneous(bcoeffs, s, c)  # (..., GRID)
+    s, c = jnp.sin(theta).astype(dtype), jnp.cos(theta).astype(dtype)
+    vals = _eval_homogeneous(coeffs, s, c)  # (..., GRID), full precision
 
     sign = jnp.sign(vals)
     # a bracket at i means sign change between theta[i] and theta[i+1]
@@ -89,7 +93,10 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
 
     lo = jnp.take(theta, safe)
     hi = jnp.take(theta, safe + 1)
-    f_lo = jnp.take_along_axis(vals, safe, axis=-1)
+    # seed with the f64 endpoint value cast down: the bisection only uses
+    # its SIGN, and within a true bracket a near-zero f32 sign flip can
+    # at worst bias the halving — the f64 Newton polish recovers
+    f_lo = jnp.take_along_axis(vals, safe, axis=-1).astype(bdtype)
 
     def body(_, carry):
         lo, hi, f_lo = carry

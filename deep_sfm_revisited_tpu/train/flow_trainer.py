@@ -33,6 +33,12 @@ from deep_sfm_revisited_tpu.train.trainer import TrainState
 # per-level weights of the DICL multiscale loss (cfgs/kitti.yml
 # MultiScale_W, incl. SUP_RAW_FLOW duplicated levels)
 DICL_LEVEL_WEIGHTS = (1.0, 0.8, 0.75, 0.6, 0.5, 0.4, 0.5, 0.4, 0.5, 0.4)
+# per-level |gt| gates (cfgs/kitti.yml VALID_RANGE + USE_VALID_RANGE=True,
+# lib/config.py:335): pixels whose GT flow magnitude exceeds the level's
+# range are zeroed (but still counted) in that level's mean
+DICL_VALID_RANGE = ((372, 372), (372, 372), (360, 360), (360, 360),
+                    (336, 336), (336, 336), (288, 288), (288, 288),
+                    (192, 192), (192, 192))
 
 
 def build_flow_model(cfg: FlowConfig, dtype=jnp.bfloat16):
@@ -97,6 +103,7 @@ def make_flow_train_step(model, cfg: FlowConfig, gamma: float = 0.8):
             loss = multiscale_flow_loss(
                 list(preds), batch["flow_gt"],
                 DICL_LEVEL_WEIGHTS[: preds.shape[0]], valid,
+                valid_range=DICL_VALID_RANGE[: preds.shape[0]],
             )
         else:
             loss = flow_sequence_loss(preds, batch["flow_gt"], valid,

@@ -383,9 +383,14 @@ def convert_reference_checkpoint(
             context_bn=context_bn, dep_context=dep_context)
     elif depth is not None:
         raise NotImplementedError(f"depth estimator port: {depth}")
-    # normalize the empty-prefix case ("".x -> x)
-    entries = [(k, t[1:] if t.startswith(".") else t, f)
-               for k, t, f in entries]
+    # normalize the empty-prefix case ("".x -> x); conv2d_cat entries
+    # carry a TUPLE of torch prefixes in the key slot
+    def _strip(t):
+        if isinstance(t, tuple):
+            return tuple(_strip(x) for x in t)
+        return t[1:] if t.startswith(".") else t
+
+    entries = [(k, _strip(t), f) for k, t, f in entries]
     new_vars, report = apply_entries(sd, variables, entries)
     report["unused"] = sorted(set(sd) - set(report["consumed"]))
     return new_vars, report

@@ -1,0 +1,40 @@
+"""Training-step throughput at the reference recipe shape.
+
+TRAIN_SIZE [256,768] (kitti.yml), nlabel=128, DICL frozen (fix_flownet),
+RANSAC pose online, depth loss. b=4 per chip (b=32 global = 8 chips DP).
+"""
+import time
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+import __graft_entry__ as g
+from deep_sfm_revisited_tpu.config import SfMConfig
+from deep_sfm_revisited_tpu.train.trainer import create_train_state, make_train_step
+
+B, H, W = 4, 256, 768
+cfg = SfMConfig.kitti(nlabel=128).override(**{
+    "train.fix_flownet": True,
+    "pose.num_hypotheses": 512,
+    "pose.ransac_iter": 5,
+    "pose.num_correspondences": 1024,
+    "pose.polish_iters": 5,
+})
+model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_shape=(B, H, W), steps_per_epoch=100)
+step = make_train_step(model, cfg)
+batch = g._batch(B, H, W)
+
+s2, m = step(state, batch, jax.random.PRNGKey(1))
+float(m["loss"])
+s3, m = step(s2, batch, jax.random.PRNGKey(2))
+float(m["loss"])
+t0 = time.perf_counter()
+N = 4
+s = s3
+for i in range(N):
+    s, m = step(s, batch, jax.random.PRNGKey(3 + i))
+    float(m["loss"])
+dt = (time.perf_counter() - t0) / N
+print("train step b=%d %dx%d nlabel=128: %.0f ms  (%.2f pairs/s/chip)"
+      % (B, H, W, dt * 1000, B / dt))

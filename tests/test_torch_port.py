@@ -469,3 +469,28 @@ def test_cost_smoothing_displacement_permutation():
     y_o = np.asarray(mod.apply(ported, x_o))  # (1, 5, 6, S2) v-outer
     y_o = y_o.transpose(0, 3, 1, 2).reshape(1, S, S, 5, 6)  # (B, v, u, H, W)
     np.testing.assert_allclose(y_o.transpose(0, 2, 1, 3, 4), y_t, atol=1e-5)
+
+
+def test_convert_reference_checkpoint_raft_flow():
+    """The RAFT branch of the top-level converter (incl. the empty-prefix
+    normalization over tuple-keyed conv2d_cat entries) must work."""
+    from deep_sfm_revisited_tpu.models.raft import RAFT
+
+    cfg = SfMConfig.kitti().override(**{"flow.raft_iters_eval": 2}).flow
+    net = RAFT(cfg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)),
+                         False)
+    # wrap under a flow_net root, as SFMNet variables are shaped
+    wrapped = {k: {"flow_net": v} for k, v in variables.items()}
+    entries = tp.raft_entries("flow_estimator", "flow_net")
+    sd = _synth_sd_from_entries(entries, wrapped, np.random.RandomState(5))
+    new_vars, report = tp.convert_reference_checkpoint(
+        sd, wrapped, flow="RAFT", depth=None)
+    assert not report["missing"], report["missing"][:8]
+    assert not report["unused"], report["unused"][:8]
+
+    # flow-only checkpoint without the flow_estimator. prefix (main.py:222-235)
+    sd_np = {k[len("flow_estimator."):]: v for k, v in sd.items()}
+    new_vars, report = tp.convert_reference_checkpoint(
+        sd_np, wrapped, flow="RAFT", depth=None)
+    assert not report["missing"] and not report["unused"]
