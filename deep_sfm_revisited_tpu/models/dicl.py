@@ -245,8 +245,16 @@ class DICLFlow(nn.Module):
         B, H, W, _ = pair.shape
 
         feat = FeatureGA(dtype=d)
-        xs = feat(x_img, train)  # [x2..x6] strides 4..64
-        ys = feat(y_img, train)
+        if not train:
+            # one batched U-net pass over both frames (identical math at
+            # eval — BN running stats; the reference runs them separately
+            # and so do we under train, matching its per-call BN batches)
+            both = feat(jnp.concatenate([x_img, y_img], axis=0), train)
+            xs = [f[:B] for f in both]
+            ys = [f[B:] for f in both]
+        else:
+            xs = feat(x_img, train)  # [x2..x6] strides 4..64
+            ys = feat(y_img, train)
 
         match = [MatchingNet(dtype=d, name=f"matching{lvl}")
                  for lvl in (2, 3, 4, 5, 6)]

@@ -165,7 +165,21 @@ class PSNet(nn.Module):
             pose = pose.at[..., :3, 3].multiply(self.norm_target)
 
         feat_net = SPPFeatureExtractor(dtype=d)
-        ref_feat = feat_net(ref, train)  # (B, H/4, W/4, 32)
+        T = targets.shape[1]
+        if not train:
+            # one batched extractor call for ref + all targets: identical
+            # math at eval (BatchNorm uses running stats); kept separate in
+            # train mode, where the reference computes BN batch statistics
+            # per call (PSNet.py:138,145)
+            stacked = jnp.concatenate(
+                [ref] + [targets[:, j] for j in range(T)], axis=0
+            )
+            feats = feat_net(stacked, train)
+            ref_feat = feats[:B]
+            tgt_feats = [feats[B * (1 + j):B * (2 + j)] for j in range(T)]
+        else:
+            ref_feat = feat_net(ref, train)  # (B, H/4, W/4, 32)
+            tgt_feats = None
         h4, w4 = ref_feat.shape[1], ref_feat.shape[2]
 
         # plane depths: min_depth * nlabel / (i+1) (ref PSNet.py:149-153)
@@ -183,9 +197,9 @@ class PSNet(nn.Module):
         # torch-port compatibility) whenever remat is toggled
         hourglass = HG(dtype=d, name="Hourglass3D_0")
         costs = None
-        T = targets.shape[1]
         for j in range(T):
-            tgt_feat = feat_net(targets[:, j], train)
+            tgt_feat = (tgt_feats[j] if tgt_feats is not None
+                        else feat_net(targets[:, j], train))
             # warp in the compute dtype (bf16 under mixed precision): the
             # cost volume is cast to it right after anyway, and halving
             # the gather source bytes is measurably faster
