@@ -131,6 +131,9 @@ class TrainConfig:
     mixed_prec: bool = True                # bf16 compute policy (ref MIXED_PREC)
     depth_init_weight: float = 0.7         # loss weight on depth_init (main.py:387-389)
     rescale_depth: bool = True             # GT-scale rescaling path (main.py:357-384)
+    rescale_depth_remask: bool = False     # recheck mask bounds against the
+                                           # rescaled GT (ref RESCALE_DEPTH_REMASK,
+                                           # lib/config.py:132, default False)
     min_train_scale: float = 0.2           # cfgs/kitti.yml
     max_train_scale: float = 2.0
     norm_target: float = 0.6               # trans-norm target (cfgs/kitti.yml)

@@ -44,6 +44,7 @@ def depth_training_loss(
     min_train_scale: float = 0.2,
     max_train_scale: float = 2.0,
     init_weight: float = 0.7,
+    remask: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Masked smooth-L1 depth loss ("follow the setting of DPSNet").
 
@@ -66,6 +67,15 @@ def depth_training_loss(
         # supervised at the NORM_TARGET scale as-is (`main.py:364` touches
         # depth_bw alone before both enter the smooth-L1 at `:387-388`)
         depth = depth * ratio
+        if remask:
+            # RESCALE_DEPTH_REMASK (main.py:366-372): revalidate against
+            # the DE-rescaled GT
+            gt_r = depth_gt / ratio
+            valid = (
+                (gt_r >= min_depth)
+                & (gt_r <= nlabel * min_depth)
+                & jnp.isfinite(gt_r)
+            )
     else:
         scale_ok = scale > min_train_scale
     mask = valid & scale_ok[:, None, None]

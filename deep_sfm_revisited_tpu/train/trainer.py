@@ -162,6 +162,7 @@ def make_train_step(model: SFMNet, cfg: SfMConfig):
             min_train_scale=t.min_train_scale,
             max_train_scale=t.max_train_scale,
             init_weight=t.depth_init_weight,
+            remask=t.rescale_depth_remask,
         )
         if not t.fix_flownet and out.get("flow_all") is not None and (
             "flow_gt" in batch
