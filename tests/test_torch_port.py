@@ -494,3 +494,39 @@ def test_convert_reference_checkpoint_raft_flow():
     new_vars, report = tp.convert_reference_checkpoint(
         sd_np, wrapped, flow="RAFT", depth=None)
     assert not report["missing"] and not report["unused"]
+
+
+def test_bilinear_sample_matches_torch_grid_sample():
+    """ops.camera.bilinear_sample == torch F.grid_sample(align_corners=True,
+    padding_mode='zeros') for in-range and out-of-range coordinates —
+    the core warp primitive of plane-sweep/inverse-warp/DICL warping."""
+    from deep_sfm_revisited_tpu.ops.camera import bilinear_sample
+
+    torch.manual_seed(8)
+    B, H, W, C = 2, 13, 17, 5
+    img_t = torch.randn(B, C, H, W)
+    # coords spanning in-range, boundary, and far out-of-range
+    xs = torch.empty(B, 9, 7).uniform_(-3, W + 2)
+    ys = torch.empty(B, 9, 7).uniform_(-3, H + 2)
+    gx = 2.0 * xs / max(W - 1, 1) - 1.0
+    gy = 2.0 * ys / max(H - 1, 1) - 1.0
+    grid = torch.stack([gx, gy], dim=-1)
+    y_t = torch.nn.functional.grid_sample(
+        img_t, grid, mode="bilinear", padding_mode="zeros",
+        align_corners=True)
+    y_t = _to_np(y_t).transpose(0, 2, 3, 1)  # (B, 9, 7, C)
+
+    img_j = jnp.asarray(_to_np(img_t).transpose(0, 2, 3, 1))
+    coords = jnp.asarray(np.stack([_to_np(xs), _to_np(ys)], axis=-1))
+    y_j = np.asarray(bilinear_sample(img_j, coords))
+    # torch's zeros padding interpolates against zeros at the border
+    # (partial contributions); ours zeroes strictly-outside samples and
+    # matches the reference's coordinate-2 trick for out-of-frustum
+    # points. Interior samples must agree exactly.
+    interior = ((_to_np(xs) >= 0) & (_to_np(xs) <= W - 1)
+                & (_to_np(ys) >= 0) & (_to_np(ys) <= H - 1))
+    np.testing.assert_allclose(y_j[interior], y_t[interior], atol=1e-5)
+    # strictly-outside samples are exactly zero in both
+    outside = ((_to_np(xs) < -1) | (_to_np(xs) > W) | (_to_np(ys) < -1)
+               | (_to_np(ys) > H))
+    assert np.abs(y_j[outside]).max() == 0.0
