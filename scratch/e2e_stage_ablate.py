@@ -14,7 +14,7 @@ from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
 B, H, W = 1, 384, 1280
 ITERS = 6
 cfg = SfMConfig.kitti(nlabel=128).override(**{
-    "flow.raft_iters_eval": 24, "pose.num_hypotheses": 512,
+    "pose.num_hypotheses": 512,
     "pose.ransac_iter": 5, "pose.num_correspondences": 1024,
     "pose.polish_iters": 5})
 model = SFMNet(cfg, dtype=jnp.bfloat16)
