@@ -167,18 +167,24 @@ def main(argv=None):
             sd = tp.load_torch_checkpoint(args.pretrained_torch)
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-            if cfg.flow.estimator not in ("DICL", "RAFT"):
+            flow_port = (cfg.flow.estimator
+                         if cfg.flow.estimator in ("DICL", "RAFT") else None)
+            depth_port = (cfg.depth.estimator
+                          if cfg.depth.estimator == "PSNET" else None)
+            if flow_port is None:
+                print(f"torch port: no table for flow estimator "
+                      f"{cfg.flow.estimator} — leaving flow_net untouched")
+            if depth_port is None:
+                print(f"torch port: no table for depth estimator "
+                      f"{cfg.depth.estimator} — leaving depth_net untouched")
+            if flow_port is None and depth_port is None:
                 raise SystemExit(
-                    f"--pretrained-torch: no port table for flow "
-                    f"estimator {cfg.flow.estimator}")
-            if cfg.depth.estimator != "PSNET":
-                raise SystemExit(
-                    f"--pretrained-torch: no port table for depth "
-                    f"estimator {cfg.depth.estimator}")
+                    "--pretrained-torch: no port table for either "
+                    "configured estimator")
             new_vars, report = tp.convert_reference_checkpoint(
                 sd, variables,
-                flow=cfg.flow.estimator,
-                depth=cfg.depth.estimator,
+                flow=flow_port,
+                depth=depth_port,
                 context_bn=cfg.depth.context_bn,
                 dep_context=cfg.depth.psnet_dep_context,
             )

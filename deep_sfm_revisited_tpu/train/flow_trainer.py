@@ -31,11 +31,18 @@ from deep_sfm_revisited_tpu.train.losses import (
 from deep_sfm_revisited_tpu.train.trainer import TrainState
 
 # per-level weights of the DICL multiscale loss (cfgs/kitti.yml
-# MultiScale_W, incl. SUP_RAW_FLOW duplicated levels)
+# MultiScale_W) in the REFERENCE'S order: fine -> coarse, (refined, raw)
+# per level — the reference training return is
+# (flow2, raw_flow2, ..., flow6, raw_flow6) (DICL_shallow.py:660-663).
+# Our all_iters stack is coarse -> fine with (raw, refined) per level
+# ("best prediction last", shared with RAFT), i.e. the exact REVERSE:
+# slice to the stack length first, then reverse.
 DICL_LEVEL_WEIGHTS = (1.0, 0.8, 0.75, 0.6, 0.5, 0.4, 0.5, 0.4, 0.5, 0.4)
 # per-level |gt| gates (cfgs/kitti.yml VALID_RANGE + USE_VALID_RANGE=True,
-# lib/config.py:335): pixels whose GT flow magnitude exceeds the level's
-# range are zeroed (but still counted) in that level's mean
+# lib/config.py:335), same reference ordering: 372 px gates the finest
+# level (cumulative CTF capacity 12+24+48+96+192), 192 px the coarsest
+# (stride-64 search range 3). Pixels beyond a level's range are zeroed
+# (but still counted) in that level's mean.
 DICL_VALID_RANGE = ((372, 372), (372, 372), (360, 360), (360, 360),
                     (336, 336), (336, 336), (288, 288), (288, 288),
                     (192, 192), (192, 192))
@@ -100,10 +107,11 @@ def make_flow_train_step(model, cfg: FlowConfig, gamma: float = 0.8):
         preds = out[0]
         valid = batch.get("flow_valid")
         if cfg.estimator == "DICL":
+            L = preds.shape[0]
             loss = multiscale_flow_loss(
                 list(preds), batch["flow_gt"],
-                DICL_LEVEL_WEIGHTS[: preds.shape[0]], valid,
-                valid_range=DICL_VALID_RANGE[: preds.shape[0]],
+                DICL_LEVEL_WEIGHTS[:L][::-1], valid,
+                valid_range=DICL_VALID_RANGE[:L][::-1],
             )
         else:
             loss = flow_sequence_loss(preds, batch["flow_gt"], valid,

@@ -1,7 +1,8 @@
-"""Training-step throughput at the reference recipe shape.
+"""Training-step throughput at the reference TRAIN_SIZE [256,768].
 
-TRAIN_SIZE [256,768] (kitti.yml), nlabel=128, DICL frozen (fix_flownet),
-RANSAC pose online, depth loss. b=4 per chip (b=32 global = 8 chips DP).
+b=2, nlabel=64, DICL frozen (fix_flownet), RANSAC pose online, depth
+loss. (The b=4 / nlabel=128 recipe variant exceeded the remote compile
+helper's limits — see PERF.md.)
 """
 import time
 import jax

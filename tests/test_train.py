@@ -177,3 +177,21 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_dicl_loss_constants_pair_finest_with_full_weight():
+    """The all_iters stack is coarse->fine (best last); after the
+    slice+reverse, the finest level must get MultiScale_W's 1.0 weight
+    and the 372 px gate, the coarsest the 0.4/192 pair
+    (DICL_shallow.py:660-663 return order vs our stack order)."""
+    from deep_sfm_revisited_tpu.train.flow_trainer import (
+        DICL_LEVEL_WEIGHTS, DICL_VALID_RANGE,
+    )
+
+    for L in (5, 10):
+        w = DICL_LEVEL_WEIGHTS[:L][::-1]
+        r = DICL_VALID_RANGE[:L][::-1]
+        assert w[-1] == 1.0              # finest (last) level: full weight
+        assert r[-1] == (372, 372)       # finest gate = cumulative capacity
+        assert w[0] in (0.4, 0.5)        # coarsest first
+        assert r[0][0] <= r[-1][0]       # gates grow fine-ward
