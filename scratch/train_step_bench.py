@@ -13,8 +13,8 @@ import __graft_entry__ as g
 from deep_sfm_revisited_tpu.config import SfMConfig
 from deep_sfm_revisited_tpu.train.trainer import create_train_state, make_train_step
 
-B, H, W = 2, 256, 768
-cfg = SfMConfig.kitti(nlabel=64).override(**{
+B, H, W = 1, 256, 768
+cfg = SfMConfig.kitti(nlabel=128).override(**{
     "train.fix_flownet": True,
     "pose.num_hypotheses": 512,
     "pose.ransac_iter": 5,
@@ -37,5 +37,5 @@ for i in range(N):
     s, m = step(s, batch, jax.random.PRNGKey(3 + i))
     float(m["loss"])
 dt = (time.perf_counter() - t0) / N
-print("train step b=%d %dx%d nlabel=64: %.0f ms  (%.2f pairs/s/chip)"
+print("train step b=%d %dx%d nlabel=128: %.0f ms  (%.2f pairs/s/chip)"
       % (B, H, W, dt * 1000, B / dt))
