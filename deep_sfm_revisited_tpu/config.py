@@ -48,7 +48,9 @@ class FlowConfig:
     dicl_ctf_context: bool = True         # per-level context nets, ref CTF_CONTEXT
     dicl_smooth_cost: bool = True         # learned 1x1 cost smoothing, ref SMOOTH_COST
     dicl_sup_raw_flow: bool = True        # supervise pre-context flow, ref SUP_RAW_FLOW
-    dicl_scale_context: Tuple[float, ...] = (0.03125, 0.0625, 0.125, 0.25, 0.5)
+    # fine->coarse (levels 2..6): the FINEST level gets the LARGEST context
+    # scale (ref kitti.yml:69-73, SCALE_CONTEXT2=0.5 .. SCALE_CONTEXT6=0.03125)
+    dicl_scale_context: Tuple[float, ...] = (0.5, 0.25, 0.125, 0.0625, 0.03125)
     dicl_flow_reg_by_max: bool = True     # soft-argmax window around argmax
 
 
