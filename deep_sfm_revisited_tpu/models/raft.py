@@ -172,8 +172,12 @@ def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
             + (1 - fy_) * fx_ * patch[:, : S - 1, 1:]
             + fy_ * (1 - fx_) * patch[:, 1:, : S - 1]
             + fy_ * fx_ * patch[:, 1:, 1:]
-        )  # (Q, 2r+1, 2r+1)
-        out.append(win.reshape(B, H, W, -1))
+        )  # (Q, 2r+1, 2r+1) as (dy, dx)
+        # flatten dx-major: the reference adds a (dy, dx) meshgrid to its
+        # (x, y) coords (corr.py:37-39), i.e. its window channels run
+        # dx-major — matching it makes ported torch RAFT weights (whose
+        # motion-encoder convc1 reads these channels) exact
+        out.append(jnp.swapaxes(win, 1, 2).reshape(B, H, W, -1))
     return jnp.concatenate(out, axis=-1)
 
 
@@ -252,8 +256,11 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     flow (B, h, w, 2); mask (B, h, w, 576). Returns (B, 8h, 8w, 2).
     """
     B, h, w, _ = flow.shape
-    mask = mask.reshape(B, h, w, 8, 8, 9)
-    mask = jax.nn.softmax(mask, axis=-1)
+    # channel layout (9, 8, 8) neighbor-major, matching the reference's
+    # mask.view(N, 1, 9, 8, 8, H, W) (raft.py:69) so ported torch mask-head
+    # weights are exact
+    mask = mask.reshape(B, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=-3)
     fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
     # 3x3 neighborhood stack (unfold): (B, h, w, 9, 2)
     patches = jnp.stack(
@@ -268,7 +275,7 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     # per-pixel (64x9)@(9x2) batched matmul, which lowers to a pathological
     # tiny-matmul loop on TPU (~25 ms measured); the VPU form is ~free
     up = jnp.sum(
-        mask[..., None] * patches[:, :, :, None, None, :, :], axis=-2
+        mask[..., None] * patches[:, :, :, :, None, None, :], axis=-4
     )  # (B, h, w, 8, 8, 2)
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
 

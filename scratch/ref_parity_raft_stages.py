@@ -80,15 +80,53 @@ cmp("fmap2", fmap2.numpy().transpose(0, 2, 3, 1), j_f[B:])
 j_c = np.asarray(inter["cnet"]["__call__"][0])
 cmp("cnet", cnet.numpy().transpose(0, 2, 3, 1), j_c)
 
-# update-block internals from the 1-iter scan: UpdateBlock_0 outputs
-ub = inter["UpdateBlock_0"]["__call__"][0]  # (net, mask, dflow) stacked?
-# flax captures the module output tuple; each leaf has leading scan dim
-net_j, mask_j, dflow_j = ub
-cmp("corr lookup -> dflow", dflow_t.numpy().transpose(0, 2, 3, 1),
-    np.asarray(dflow_j)[0] if np.asarray(dflow_j).ndim == 5
-    else np.asarray(dflow_j))
-cmp("mask", (0.25 * mask_t if False else mask_t).numpy().transpose(0, 2, 3, 1),
-    np.asarray(mask_j)[0] if np.asarray(mask_j).ndim == 5
-    else np.asarray(mask_j))
+def walk(tree, prefix=""):
+    for k, v in tree.items():
+        p = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            yield from walk(v, p)
+        else:
+            yield p, v
+
+
 cmp("final up flow (1 iter)", up_t.numpy().transpose(0, 2, 3, 1),
     np.asarray(jflow))
+
+# ---- manual single iteration with our components on TORCH tensors
+from deep_sfm_revisited_tpu.models.raft import (
+    UpdateBlock,
+    convex_upsample,
+    correlation_pyramid,
+    lookup_correlation,
+)
+
+f1 = jnp.asarray(fmap1.numpy().transpose(0, 2, 3, 1))
+f2 = jnp.asarray(fmap2.numpy().transpose(0, 2, 3, 1))
+pyr = correlation_pyramid(f1, f2, 4, 4)
+h8, w8 = H // 8, W // 8
+gy, gx = jnp.meshgrid(jnp.arange(h8, dtype=jnp.float32),
+                      jnp.arange(w8, dtype=jnp.float32), indexing="ij")
+c0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (B, h8, w8, 2))
+corr_j = lookup_correlation(pyr, c0, 4)
+cmp("corr lookup", corr_t.numpy().transpose(0, 2, 3, 1),
+    np.asarray(corr_j))
+
+ub = UpdateBlock(128)
+net_j0 = jnp.asarray(net_t.numpy().transpose(0, 2, 3, 1))
+inp_j = jnp.asarray(inp_t.numpy().transpose(0, 2, 3, 1))
+corr_tj = jnp.asarray(corr_t.numpy().transpose(0, 2, 3, 1))
+flow_j = jnp.asarray(flow_t.numpy().transpose(0, 2, 3, 1))
+ub_vars = {"params": ported["params"]["UpdateBlock_0"]}
+net2_j, mask_j, dflow_j = ub.apply(ub_vars, net_j0, inp_j, corr_tj, flow_j)
+cmp("dflow (torch inputs)", dflow_t.numpy().transpose(0, 2, 3, 1),
+    np.asarray(dflow_j))
+cmp("net2 (torch inputs)", net2_t.numpy().transpose(0, 2, 3, 1),
+    np.asarray(net2_j))
+cmp("mask (torch inputs)", mask_t.numpy().transpose(0, 2, 3, 1),
+    np.asarray(mask_j))
+up_j = convex_upsample(
+    jnp.asarray((coords1b - coords0).numpy().transpose(0, 2, 3, 1)),
+    jnp.asarray(mask_t.numpy().transpose(0, 2, 3, 1)),
+)
+cmp("convex upsample (torch inputs)", up_t.numpy().transpose(0, 2, 3, 1),
+    np.asarray(up_j))

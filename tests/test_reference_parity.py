@@ -69,6 +69,103 @@ def test_dicl_end_to_end_matches_reference():
     assert np.abs(jent - tent).max() < 1e-4, np.abs(jent - tent).max()
 
 
+def test_raft_end_to_end_matches_reference():
+    """Full RAFT eval forward (24 hardcoded iters, raft.py:84-87): ported
+    weights reproduce the reference flow.
+
+    Exercises the BGR fold (conv2d_bgr), the fused GRU/head kernels
+    (conv2d_cat), the dx-major correlation-window channel order
+    (corr.py:37-39), and the (9, 8, 8) convex-upsample mask layout
+    (raft.py:69). Residual error is the bf16 correlation-pyramid storage
+    compounding over 24 iterations (~1e-2 px max, observed).
+    """
+    load_reference()
+    import sys
+
+    import torch
+
+    torch.manual_seed(0)
+    sys.path.insert(0, "/root/reference/models/RAFT/core")
+    from models.RAFT.core.raft import RAFT as RefRAFT
+
+    tm = RefRAFT().eval()
+    B, H, W = 1, 128, 192
+    x = torch.rand(B, 6, H, W) * 2 - 1
+    with torch.no_grad():
+        tflow, _ = tm(x)
+    tflow = tflow.numpy()
+
+    sd = {f"flow_estimator.{k}": v.numpy()
+          for k, v in tm.state_dict().items()}
+
+    from deep_sfm_revisited_tpu.models.raft import RAFT
+
+    cfg = SfMConfig.kitti().flow
+    cfg = cfg.__class__(**{**cfg.__dict__, "raft_iters_eval": 24})
+    net = RAFT(cfg)
+    pair = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    variables = net.init(jax.random.PRNGKey(0), pair, False)
+    entries = [
+        (kind, tkey, fpath.replace("flow_net/", ""))
+        for kind, tkey, fpath in tp.raft_entries("flow_estimator",
+                                                 "flow_net")
+    ]
+    ported, report = tp.apply_entries(sd, variables, entries)
+    assert not report["missing"], report["missing"][:8]
+    # cnet downsample norms appear twice in the torch state dict (norm3 is
+    # an attribute alias of downsample.1, extractor.py:44-45); only the
+    # alias keys may remain unconsumed
+    leftover = [k for k in set(sd) - set(report["consumed"])
+                if "num_batches_tracked" not in k and ".norm3." not in k]
+    assert not leftover, leftover[:8]
+
+    jflow, _ = net.apply(ported, pair, False)
+    jflow = np.asarray(jflow).transpose(0, 3, 1, 2)
+    d = np.abs(jflow - tflow)
+    assert d.max() < 5e-2, d.max()  # observed ~1.1e-2 on ~14 px flows
+
+
+def test_plainpose_end_to_end_matches_reference():
+    """PlainPose ablation head (PoseNet.py:13-68): ported weights match
+    exactly (observed ~4e-8)."""
+    load_reference()
+    import torch
+
+    torch.manual_seed(0)
+    from models.PoseNet import PlainPose as RefPlainPose
+
+    tm = RefPlainPose().eval()
+    B, H, W = 2, 64, 96
+    flow_t = torch.randn(B, 2, H, W) * 3
+    conf_t = torch.rand(B, 1, H, W)
+    ref_t = torch.rand(B, 3, H, W) * 2 - 1
+    tgt_t = torch.rand(B, 3, H, W) * 2 - 1
+    with torch.no_grad():
+        tpose = tm(flow_t, conf_t, ref_t, tgt_t).numpy()
+
+    sd = {f"posenet.{k}": v.numpy() for k, v in tm.state_dict().items()}
+
+    from deep_sfm_revisited_tpu.models.posenet import PlainPose
+
+    net = PlainPose()
+
+    def j(t):
+        return jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+
+    variables = net.init(jax.random.PRNGKey(0), j(flow_t), j(ref_t),
+                         j(tgt_t), j(conf_t), False)
+    entries = [
+        (kind, tkey, fpath.replace("pose_net/", ""))
+        for kind, tkey, fpath in tp.plainpose_entries("posenet", "pose_net")
+    ]
+    ported, report = tp.apply_entries(sd, variables, entries)
+    assert not report["missing"], report["missing"][:8]
+
+    jpose = np.asarray(net.apply(ported, j(flow_t), j(ref_t), j(tgt_t),
+                                 j(conf_t), False))
+    assert np.abs(jpose - tpose).max() < 1e-5, np.abs(jpose - tpose).max()
+
+
 def test_psnet_end_to_end_matches_reference():
     """Full PSNet eval forward (plane sweep + hourglass + context +
     regression + RESCALE_DEPTH pose scaling) matches the reference.
