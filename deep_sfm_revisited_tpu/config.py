@@ -68,10 +68,16 @@ class DepthConfig:
     remat: bool = True                # jax.checkpoint the 3D cost stacks
                                       # (trade FLOPs for HBM at b=32; no-op
                                       # at inference — no backward pass)
-    # pose-scale sampling (PANet/REGNet/DISPNET; ref lib/config.py:184-188)
-    scale_min: float = 0.5
-    scale_max: float = 1.5
-    scale_step: float = 0.1
+    # pose-scale sampling (PANet; ref lib/config.py:184-188)
+    scale_min: float = 0.9
+    scale_max: float = 1.1
+    scale_step: float = 0.025
+    # REGNet coupled pose-perturbation grid (ref REGNet.py:40-72,79):
+    # sample_num^3 poses, Euler-angle and translation offsets indexed by
+    # the same grid point
+    regnet_sample_num: int = 5
+    regnet_std_rot: float = 0.12
+    regnet_std_tr: float = 0.27
 
 
 @dataclass(frozen=True)

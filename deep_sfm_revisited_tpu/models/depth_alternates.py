@@ -49,8 +49,6 @@ from deep_sfm_revisited_tpu.ops.camera import (
     pixel_grid,
     plane_sweep_warp,
 )
-from deep_sfm_revisited_tpu.ops.flow_ops import flow2depth
-
 Dtype = Any
 
 
@@ -120,21 +118,50 @@ def _upsample_regress(cost, nlabel, min_depth, H, W):
     return min_depth * nlabel / (disp + 1e-16)
 
 
+def sample_pose_grid(pose: jnp.ndarray, sample_num: int, std_rot: float,
+                     std_tr: float) -> jnp.ndarray:
+    """REGNet's coupled pose-perturbation grid (ref REGNet.py:40-72).
+
+    (B, 3, 4) -> (B, n^3, 3, 4): grid point (i, j, k) perturbs BOTH the
+    Euler angles by (g[i], g[j], g[k]) * std_rot (delta rotation composed
+    on the left) and the translation by (g[i], g[j], g[k]) * std_tr,
+    where g = -linspace(-n//2, n//2)/(-n//2) spans [-1, 1].
+    """
+    from deep_sfm_revisited_tpu.ops.rotations import angle_to_matrix
+
+    B = pose.shape[0]
+    n = sample_num
+    base = jnp.arange(-(n // 2), n // 2 + 1, dtype=jnp.float32)
+    g = -base / base[0]  # [-1, ..., 1] scaled so g[0] = -(-n/2)/(-n/2)
+    gi = jnp.broadcast_to(g[:, None, None], (n, n, n))
+    gj = jnp.broadcast_to(g[None, :, None], (n, n, n))
+    gk = jnp.broadcast_to(g[None, None, :], (n, n, n))
+    grid = jnp.stack([gi, gj, gk], axis=-1).reshape(n ** 3, 3)  # (S, 3)
+
+    dR = angle_to_matrix(grid * std_rot)  # (S, 3, 3)
+    R = jnp.einsum("sij,bjk->bsik", dR, pose[:, :3, :3])
+    t = pose[:, None, :3, 3] + (grid * std_tr)[None]  # (B, S, 3)
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
 class SmallHourglass3D(nn.Module):
-    """dres00-03 + classify0 (PANet's shared per-scale stack)."""
+    """dres00-03 + classify0, PANet's shared per-scale stack
+    (ref PANet.py:60-79): 64->8->16 entry, 16-ch residual blocks whose
+    second conv is 1x1x1, and an 16->8 convbn+relu classify stage."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, cost, train: bool = False):
         d = self.dtype
-        c0 = nn.relu(ConvBN3D(32, dtype=d)(cost, train))
-        c0 = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
-        for _ in range(3):
-            r = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
-            r = ConvBN3D(32, dtype=d)(r, train)
+        c0 = nn.relu(ConvBN3D(8, dtype=d)(cost, train))
+        c0 = nn.relu(ConvBN3D(16, dtype=d)(c0, train))
+        for _ in range(3):  # dres01..03
+            r = nn.relu(ConvBN3D(16, dtype=d)(c0, train))
+            r = ConvBN3D(16, kernel=(1, 1, 1), dtype=d)(r, train)
             c0 = c0 + r
-        return Conv3DMXU(1, (3, 3, 3), dtype=d)(c0)
+        out = nn.relu(ConvBN3D(8, dtype=d)(c0, train))
+        return Conv3DMXU(1, (3, 3, 3), dtype=d)(out)
 
 
 class PANet(nn.Module):
@@ -204,7 +231,6 @@ class REGNet(nn.Module):
         d = self.dtype
         B, H, W, _ = ref.shape
         K4, K4_inv = _quarter_K(K.astype(jnp.float32))
-        scales = jnp.asarray(pose_scales(cfg), jnp.float32)
         labels = jnp.arange(1, cfg.nlabel + 1, dtype=jnp.float32)
         plane_depths = cfg.min_depth * cfg.nlabel / labels
 
@@ -214,13 +240,16 @@ class REGNet(nn.Module):
         T = targets.shape[1]
         for j in range(T):
             tgt_feat = feat(targets[:, j], train)
-            poses_s = sample_pose_by_scale(pose[:, j].astype(jnp.float32),
-                                           scales)
+            # coupled n^3 pose-perturbation grid (ref REGNet.py:173-176)
+            poses_s = sample_pose_grid(
+                pose[:, j].astype(jnp.float32), cfg.regnet_sample_num,
+                cfg.regnet_std_rot, cfg.regnet_std_tr,
+            )
             vol = _scaled_sweep(tgt_feat.astype(jnp.float32), plane_depths,
                                 poses_s, K4, K4_inv)  # (B,S,D,h,w,C)
             corr = jnp.mean(
                 ref_feat[:, None, None].astype(jnp.float32) * vol, axis=-1
-            )  # (B, S, D, h, w): scale samples as channels (REGNet.py:180)
+            )  # (B, S, D, h, w): pose samples as channels (REGNet.py:182)
             cost = nn.leaky_relu(
                 jnp.moveaxis(corr, 1, -1), 0.1
             ).astype(d)  # (B, D, h, w, S)
@@ -230,6 +259,9 @@ class REGNet(nn.Module):
                 r = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
                 r = ConvBN3D(32, dtype=d)(r, train)
                 c0 = c0 + r
+            # predict head: convbn+relu stage before the final conv
+            # (ref REGNet.py:120-122)
+            c0 = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
             c = Conv3DMXU(1, (3, 3, 3), dtype=d)(c0)[..., 0]
             costs = c if costs is None else costs + c
         costs = costs / T
@@ -278,17 +310,30 @@ class REG2D(nn.Module):
         corr = jnp.mean(ref_feat[:, None].astype(jnp.float32) * vol, axis=-1)
         cost = nn.leaky_relu(jnp.moveaxis(corr, 1, -1), 0.1).astype(d)
 
+        # REG2D's own convbn: biased conv + BN + LeakyReLU(0.1)
+        # (ref REG2D.py:27-32 — distinct from the shared submodule convbn)
+        def convbn_lk(x, feats, dil=1):
+            x = nn.Conv(feats, (3, 3), padding=dil,
+                        kernel_dilation=(dil, dil), dtype=d)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=d)(x)
+            return nn.leaky_relu(x, 0.1)
+
         # DenseNet 2D stack (REG2D.py:116-121)
         x = cost
         for c in (128, 128, 96, 64, 32):
-            y = nn.relu(ConvBN(c, 3, 1, 1, d)(x, train))
-            x = jnp.concatenate([y, x], axis=-1)
+            x = jnp.concatenate([convbn_lk(x, c), x], axis=-1)
         depth_init = nn.Conv(1, (3, 3), padding=1, dtype=d)(x)[..., 0]
         depth_init = depth_init.astype(jnp.float32)  # (B, h, w), 1/4 res
 
-        # refinement cost: 9 depth offsets x pose scales (REG2D.py:131-144)
-        scales = jnp.asarray(pose_scales(cfg), jnp.float32)
-        poses_s = sample_pose_by_scale(pose0, scales, full_translation=True)
+        # refinement cost: 9 depth offsets x 11 FIXED translation scales
+        # (hardcoded in the reference, REG2D.py:126-130, independent of the
+        # SCALE_MIN/MAX/STEP knobs PANet reads); rotation is NOT scaled —
+        # only the translation column is multiplied
+        scales = jnp.arange(0.5, 1.6, 0.1, dtype=jnp.float32)
+        S_ = scales.shape[0]
+        poses_s = jnp.broadcast_to(pose0[:, None], (B, S_, 3, 4))
+        poses_s = poses_s.at[..., 3].multiply(scales[None, :, None])
         S = poses_s.shape[1]
         offs = (jnp.arange(self.offset_num, dtype=jnp.float32)
                 - (self.offset_num - 1) / 2) * self.offset_std
@@ -329,7 +374,7 @@ class REG2D(nn.Module):
         x = ctx_in
         for c, dil in ((128, 1), (128, 1), (128, 1), (128, 2), (128, 4),
                        (96, 8), (64, 16), (32, 1)):
-            x = nn.relu(ConvBN(c, 3, 1, dil, d)(x, train))
+            x = convbn_lk(x, c, dil)  # leaky convbn stack (REG2D.py:54-63)
         resid = nn.Conv(1, (3, 3), padding=1, dtype=d)(x)[..., 0]
         depth = resid.astype(jnp.float32) + jax.lax.stop_gradient(depth_init)
 
@@ -370,11 +415,17 @@ class DISPNET(nn.Module):
         p = ray * self.anchor_depth + tvec
         z = jnp.maximum(p[:, 2], 1e-3)
         anchors = jnp.stack([p[:, 0] / z, p[:, 1] / z], -1)  # (B, HW, 2)
-        # epipolar direction: difference of projections at two depths
+        # epipolar direction: difference of projections at two depths —
+        # the same line the reference derives from the fundamental matrix
+        # (DISPNET.py:137-141,165-170). The reference normalizes
+        # [1, slope], whose x-component is always positive, so flip to
+        # that sign convention (the disparity axis orientation feeds the
+        # 3D convs, which are not symmetric in D).
         p2 = ray * (self.anchor_depth * 2.0) + tvec
         z2 = jnp.maximum(p2[:, 2], 1e-3)
         far = jnp.stack([p2[:, 0] / z2, p2[:, 1] / z2], -1)
         move = far - anchors
+        move = move * jnp.where(move[..., :1] < 0, -1.0, 1.0)
         move = move / jnp.maximum(
             jnp.linalg.norm(move, axis=-1, keepdims=True), 1e-12
         )
@@ -403,12 +454,20 @@ class DISPNET(nn.Module):
         prob = jax.nn.softmax(cs.astype(jnp.float32), axis=1)
         disp = jnp.sum(prob * steps[None, :, None, None], axis=1)  # (B,h,w)
 
-        # matched point -> flow -> closed-form triangulated depth
+        # matched point -> u-coordinate closed-form triangulation
+        # (ref `triangulation` u_base=True, DISPNET.py:177-203): the ref
+        # pixel's depth lambda solves  lambda (K R K^-1 u)_0 + (K t)_0 =
+        # u2 (lambda (K R K^-1 u)_2 + (K t)_2)
         matched = (anchors.reshape(B, h, w, 2)
                    + disp[..., None] * move.reshape(B, h, w, 2))
-        grid2 = jnp.moveaxis(pixel_grid(h, w, jnp.float32)[:2], 0, -1)[None]
-        flow = matched - grid2
-        depth = flow2depth(flow, pose0, K4, K4_inv, min_depth=1e-3)
+        KT = jnp.einsum("bij,bj->bi", K4, pose0[:, :, 3])  # (B, 3)
+        RpK = KRKi @ grid  # (B, 3, HW) = K R K^-1 [u, v, 1]
+        RpK = RpK.reshape(B, 3, h, w)
+        u2 = matched[..., 0]
+        depth = (u2 * KT[:, 2, None, None] - KT[:, 0, None, None]) / (
+            RpK[:, 0] - u2 * RpK[:, 2] + 1e-5
+        )
+        depth = jnp.clip(depth, 0.0, 80.0)
         depth = jnp.nan_to_num(depth)
 
         if cfg.psnet_dep_context:

@@ -266,6 +266,98 @@ def port_psnet(sd, variables, torch_prefix="depth_estimator",
                          psnet_entries(torch_prefix, ""), flax_root=flax_root)
 
 
+def _context_2d_to_3d(t: str, f: str, n: int = 7,
+                      context_bn: bool = False) -> List[Entry]:
+    # per-plane convtext stack ported onto a (1, k, k) 3D ContextNet
+    e: List[Entry] = []
+    for i in range(n):
+        e += [("conv2d_to_3d", f"{t}.{i}.0", f"{f}/Conv3DMXU_{i}")]
+        if context_bn:
+            e += [("bn", f"{t}.{i}.1", f"{f}/BatchNorm_{i}")]
+    return e
+
+
+def panet_entries(t: str = "depth_estimator", f: str = "depth_net",
+                  context_bn: bool = False) -> List[Entry]:
+    """PANet (models/PANet.py:42-105): SPP + dres00-03/classify0 + convs."""
+    e = spp_entries(f"{t}.feature_extraction", f"{f}/SPPFeatureExtractor_0")
+    hg = f"{f}/SmallHourglass3D_0"
+    e += _convbn3d(f"{t}.dres00.0", f"{hg}/ConvBN3D_0")
+    e += _convbn3d(f"{t}.dres00.2", f"{hg}/ConvBN3D_1")
+    idx = 2
+    for dres in ("dres01", "dres02", "dres03"):
+        e += _convbn3d(f"{t}.{dres}.0", f"{hg}/ConvBN3D_{idx}")
+        e += _convbn3d(f"{t}.{dres}.2", f"{hg}/ConvBN3D_{idx + 1}")
+        idx += 2
+    e += _convbn3d(f"{t}.classify0.0", f"{hg}/ConvBN3D_8")
+    e += [("conv3d", f"{t}.classify0.2", f"{hg}/Conv3DMXU_0")]
+    e += _context_2d_to_3d(f"{t}.convs", f"{f}/ContextNet_0", 7, context_bn)
+    return e
+
+
+def regnet_entries(t: str = "depth_estimator", f: str = "depth_net",
+                   context_bn: bool = False) -> List[Entry]:
+    """REGNet (models/REGNet.py:73-126): SPP + posecnn0-4/predict + convs."""
+    e = spp_entries(f"{t}.feature_extraction", f"{f}/SPPFeatureExtractor_0")
+    e += _convbn3d(f"{t}.posecnn0.0", f"{f}/ConvBN3D_0")
+    e += _convbn3d(f"{t}.posecnn0.2", f"{f}/ConvBN3D_1")
+    idx = 2
+    for p in ("posecnn1", "posecnn2", "posecnn3", "posecnn4"):
+        e += _convbn3d(f"{t}.{p}.0", f"{f}/ConvBN3D_{idx}")
+        e += _convbn3d(f"{t}.{p}.2", f"{f}/ConvBN3D_{idx + 1}")
+        idx += 2
+    e += _convbn3d(f"{t}.predict.0", f"{f}/ConvBN3D_10")
+    e += [("conv3d", f"{t}.predict.2", f"{f}/Conv3DMXU_0")]
+    e += _context_2d_to_3d(f"{t}.convs", f"{f}/ContextNet_0", 7, context_bn)
+    return e
+
+
+def reg2d_entries(t: str = "depth_estimator",
+                  f: str = "depth_net") -> List[Entry]:
+    """REG2D (models/REG2D.py:34-63): SPP + dense stack + leaky context.
+
+    The dense/context convbn here is the file-local biased-conv + BN +
+    LeakyReLU variant (REG2D.py:27-32), so both conv bias and BN port.
+    """
+    e = spp_entries(f"{t}.feature_extraction", f"{f}/SPPFeatureExtractor_0")
+    for i in range(5):  # conv0..conv4 dense stack
+        e += [("conv2d", f"{t}.conv{i}.0", f"{f}/Conv_{i}"),
+              ("bn", f"{t}.conv{i}.1", f"{f}/BatchNorm_{i}")]
+    e += [("conv2d", f"{t}.predict", f"{f}/Conv_5")]
+    for i in range(8):  # context.0..7 convbn layers
+        e += [("conv2d", f"{t}.context.{i}.0", f"{f}/Conv_{6 + i}"),
+              ("bn", f"{t}.context.{i}.1", f"{f}/BatchNorm_{5 + i}")]
+    e += [("conv2d", f"{t}.context.8", f"{f}/Conv_14")]
+    return e
+
+
+def dispnet_entries(t: str = "depth_estimator", f: str = "depth_net",
+                    context_bn: bool = False,
+                    dep_context: bool = True) -> List[Entry]:
+    """DISPNET (models/DISPNET.py:44-98): SPP + PSNet-shaped hourglass +
+    convs (+ dep_convs under PSNET_DEP_CONTEXT)."""
+    e = spp_entries(f"{t}.feature_extraction", f"{f}/SPPFeatureExtractor_0")
+    hg = f"{f}/Hourglass3D_0"
+    e += _convbn3d(f"{t}.dres0.0", f"{hg}/ConvBN3D_0")
+    e += _convbn3d(f"{t}.dres0.2", f"{hg}/ConvBN3D_1")
+    idx = 2
+    for dres in ("dres1", "dres2", "dres3", "dres4"):
+        e += _convbn3d(f"{t}.{dres}.0", f"{hg}/ConvBN3D_{idx}")
+        e += _convbn3d(f"{t}.{dres}.2", f"{hg}/ConvBN3D_{idx + 1}")
+        idx += 2
+    e += _convbn3d(f"{t}.classify.0", f"{hg}/ConvBN3D_10")
+    e += [("conv3d", f"{t}.classify.2", f"{hg}/Conv3DMXU_0")]
+    e += _context_2d_to_3d(f"{t}.convs", f"{f}/ContextNet_0", 7, context_bn)
+    if dep_context:
+        for i in range(7):
+            e += [("conv2d", f"{t}.dep_convs.{i}.0",
+                   f"{f}/DepthContextNet_0/Conv_{i}")]
+            if context_bn:
+                e += [("bn", f"{t}.dep_convs.{i}.1",
+                       f"{f}/DepthContextNet_0/BatchNorm_{i}")]
+    return e
+
+
 def _basicconv(t: str, f: str, bn: bool = True, deconv: bool = False) -> List[Entry]:
     # ref `BasicConv` (DICL_shallow.py:75-92): attrs .conv / .bn; conv is
     # always bias-free (bias=False passed unconditionally, :82-84)
