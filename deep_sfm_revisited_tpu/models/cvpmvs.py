@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from deep_sfm_revisited_tpu.config import DepthConfig
-from deep_sfm_revisited_tpu.models.submodules import resize_bilinear
+from deep_sfm_revisited_tpu.models.submodules import (
+    resize_bicubic,
+    resize_bilinear,
+)
 from deep_sfm_revisited_tpu.ops.mvs import (
     depth_regression,
     depth_regression_refine,
@@ -34,17 +37,16 @@ from deep_sfm_revisited_tpu.ops.mvs import (
 Dtype = Any
 
 
-class _ConvBnReLU(nn.Module):
+class _ConvLeaky(nn.Module):
+    """Biased conv + LeakyReLU(0.1), NO norm (ref `conv`, modules.py:21-25)."""
+
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=False):
-        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype)(x)
-        return nn.relu(x)
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(x)
+        return nn.leaky_relu(x, 0.1)
 
 
 class FeaturePyramid(nn.Module):
@@ -57,18 +59,20 @@ class FeaturePyramid(nn.Module):
         d = self.dtype
 
         chans = (64, 64, 64, 32, 32, 32, 16, 16, 16)
-        convs = [_ConvBnReLU(c, dtype=d) for c in chans]
+        convs = [_ConvLeaky(c, dtype=d) for c in chans]
 
         def extract(x):
             for conv in convs:
-                x = conv(x, train)
+                x = conv(x)
             return x
 
         fp = [extract(img.astype(d))]
         x = img
         for _ in range(nscale - 1):
             h, w = x.shape[1] // 2, x.shape[2] // 2
-            x = resize_bilinear(x, (h, w))
+            # torch F.interpolate(scale_factor=0.5) without align_corners
+            # (CVPMVS.py:38) => half-pixel centers
+            x = resize_bilinear(x, (h, w), align_corners=False)
             fp.append(extract(x.astype(d)))
         return fp  # fine -> coarse, 16 channels each
 
@@ -85,6 +89,28 @@ class _ConvBnReLU3D(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         return nn.relu(x)
+
+
+class _Deconv3DS2(nn.Module):
+    """torch `ConvTranspose3d(k3, s2, p1, output_padding=1)` equivalent:
+    2x input dilation + asymmetric (1, 2) padding + (ported-flipped)
+    kernel — numerically exact vs torch (scratch/deconv3d_port_check.py).
+    Kernel layout (3, 3, 3, Cin, Cout)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        Cin = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 3, Cin, self.features),
+                       jnp.float32).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, window_strides=(1, 1, 1),
+            padding=[(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
 
 
 class CostRegNet(nn.Module):
@@ -108,8 +134,7 @@ class CostRegNet(nn.Module):
         c5 = nn.relu(nn.BatchNorm(use_running_average=not train,
                                   momentum=0.9, dtype=d)(c5))
         c5 = c2 + c5
-        c6 = nn.ConvTranspose(16, (3, 3, 3), strides=(2, 2, 2),
-                              padding="SAME", use_bias=False, dtype=d)(c5)
+        c6 = _Deconv3DS2(16, dtype=d)(c5)
         c6 = nn.relu(nn.BatchNorm(use_running_average=not train,
                                   momentum=0.9, dtype=d)(c6))
         c6 = c0 + c6
@@ -142,18 +167,14 @@ class CVPMVS(nn.Module):
         reg = CostRegNet(dtype=d)
         pose0 = pose[:, 0].astype(jnp.float32)
 
-        def scale_K(lvl_shape):
-            s = lvl_shape[1] / H
-            scale = jnp.asarray([s, s, 1.0], jnp.float32)
-            Ks = K.astype(jnp.float32) * scale[None, :, None]
-            return Ks, jnp.linalg.inv(Ks)
-
-        # coarse sweep at the coarsest level
+        # coarse sweep at the coarsest level. NOTE the reference never
+        # applies its multi-scale intrinsics to the warp — the pose acts
+        # on pixel coordinates directly (CVPMVS.py:163, modules.py:74-84);
+        # reproduced bug-for-bug in ops.mvs
         hyp = sweeping_depth_hypos(self.depth_min, self.depth_max,
                                    self.n_coarse)
         rf, sf = ref_fp[-1], src_fp[-1]
-        Ks, Kis = scale_K(rf.shape)
-        warped = homo_warping(sf.astype(jnp.float32), pose0, Ks, Kis, hyp)
+        warped = homo_warping(sf.astype(jnp.float32), pose0, hyp)
         cost = (rf[:, None].astype(jnp.float32) ** 2 + warped**2).astype(d)
         prob = jax.nn.softmax(reg(cost, train).astype(jnp.float32), axis=1)
         depth = depth_regression(prob, hyp)
@@ -163,12 +184,13 @@ class CVPMVS(nn.Module):
         for lvl in range(self.nscale - 2, -1, -1):
             rf, sf = ref_fp[lvl], src_fp[lvl]
             hw = rf.shape[1:3]
-            depth = resize_bilinear(depth[..., None], hw)[..., 0]
+            # ref upsamples the seed depth BICUBIC half-pixel
+            # (CVPMVS.py:195)
+            depth = resize_bicubic(depth[..., None], hw)[..., 0]
             hypos = local_depth_hypos(depth, self.n_refine)
-            Ks, Kis = scale_K(rf.shape)
             cost = proj_cost_volume(
                 rf.astype(jnp.float32), sf.astype(jnp.float32), pose0,
-                Ks, Kis, hypos,
+                hypos,
             ).astype(d)
             prob = jax.nn.softmax(reg(cost, train).astype(jnp.float32), 1)
             depth = depth_regression_refine(prob, hypos)

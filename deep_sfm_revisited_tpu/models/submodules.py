@@ -211,6 +211,52 @@ def _interp_matrix_hp(n_out: int, n_in: int) -> jnp.ndarray:
     return jnp.asarray(M)
 
 
+def _interp_matrix_bicubic_hp(n_out: int, n_in: int) -> jnp.ndarray:
+    """Dense 1-D bicubic half-pixel interpolation matrix.
+
+    Matches torch `F.interpolate(mode='bicubic', align_corners=False)`:
+    Keys cubic kernel with a = -0.75 over 4 taps, sample centers at
+    (i + 0.5) * n_in / n_out - 0.5, out-of-range taps clamped to the
+    border (index replication).
+    """
+    import numpy as np
+
+    a = -0.75
+
+    def k(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1.0, (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2.0, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a,
+                     0.0),
+        )
+
+    pos = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    frac = pos - lo
+    M = np.zeros((n_out, n_in), np.float32)
+    for tap in range(-1, 3):
+        idx = np.clip(lo + tap, 0, n_in - 1)
+        M[np.arange(n_out), idx] += k(frac - tap)
+    return jnp.asarray(M)
+
+
+def resize_bicubic(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic half-pixel resize of (B, H, W, C) as separable matmuls
+    (torch `F.interpolate(mode='bicubic')` default semantics)."""
+    B, H, W, C = x.shape
+    h, w = hw
+    if (h, w) == (H, W):
+        return x
+    Ay = _interp_matrix_bicubic_hp(h, H).astype(x.dtype)
+    Ax = _interp_matrix_bicubic_hp(w, W).astype(x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", Ay, x,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,bowc->bopc", Ax, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
 def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int],
                     align_corners: bool = True) -> jnp.ndarray:
     """Bilinear resize of (B, H, W, C), matching torch `F.interpolate`.

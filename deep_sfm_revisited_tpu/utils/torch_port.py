@@ -161,6 +161,12 @@ def apply_entries(
                 # corresponds to torch's [u*S+v]
                 perm = np.arange(s2).reshape(S, S).T.ravel()
                 w = w[:, :, perm][:, :, :, perm]
+            elif kind in ("deconv3d_s1", "deconv3d_s2"):
+                # torch ConvTranspose3d weight (I, O, kd, kh, kw): channel
+                # swap + spatial flip. s1 lands on a plain conv; s2 on the
+                # dilated-conv lowering (_Deconv3DS2) — both consume the
+                # flipped kernel (scratch/deconv3d_port_check.py)
+                w = np.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1].copy()
             elif kind == "deconv2d":
                 # torch ConvTranspose2d weight (I, O, kh, kw) is applied
                 # spatially FLIPPED relative to flax ConvTranspose
@@ -355,6 +361,39 @@ def dispnet_entries(t: str = "depth_estimator", f: str = "depth_net",
             if context_bn:
                 e += [("bn", f"{t}.dep_convs.{i}.1",
                        f"{f}/DepthContextNet_0/BatchNorm_{i}")]
+    return e
+
+
+def cvpmvs_entries(t: str = "depth_estimator",
+                   f: str = "depth_net") -> List[Entry]:
+    """CVPMVS (models/CVPMVS.py:19-96): feature pyramid + 3D U-Net.
+
+    conv0aa gets conv2d_bgr — the reference permutes inputs to BGR
+    (CVPMVS.py:102-107); folding the permute into the first conv's
+    input channels reproduces the torch activations for our RGB inputs.
+    conv5/conv6 are ConvTranspose3d (stride 1 / stride 2) — ported with
+    channel swap + spatial flip onto the plain-conv / dilated-conv
+    lowerings (deconv3d_s1 / deconv3d_s2).
+    """
+    fp = f"{f}/FeaturePyramid_0"
+    names = ("conv0aa", "conv0ba", "conv0bb", "conv0bc", "conv0bd",
+             "conv0be", "conv0bf", "conv0bg", "conv0bh")
+    e: List[Entry] = []
+    for i, n in enumerate(names):
+        kind = "conv2d_bgr" if i == 0 else "conv2d"
+        e += [(kind, f"{t}.featurePyramid.{n}.0",
+               f"{fp}/_ConvLeaky_{i}/Conv_0")]
+    cr_t = f"{t}.cost_reg_refine"
+    cr = f"{f}/CostRegNet_0"
+    for i, n in enumerate(("conv0", "conv0a", "conv1", "conv2", "conv2a",
+                           "conv3", "conv4", "conv4a")):
+        e += [("conv3d", f"{cr_t}.{n}.conv", f"{cr}/_ConvBnReLU3D_{i}/Conv_0"),
+              ("bn", f"{cr_t}.{n}.bn", f"{cr}/_ConvBnReLU3D_{i}/BatchNorm_0")]
+    e += [("deconv3d_s1", f"{cr_t}.conv5.0", f"{cr}/Conv_0"),
+          ("bn", f"{cr_t}.conv5.1", f"{cr}/BatchNorm_0"),
+          ("deconv3d_s2", f"{cr_t}.conv6.0", f"{cr}/_Deconv3DS2_0"),
+          ("bn", f"{cr_t}.conv6.1", f"{cr}/BatchNorm_1"),
+          ("conv3d", f"{cr_t}.prob0", f"{cr}/Conv_1")]
     return e
 
 
