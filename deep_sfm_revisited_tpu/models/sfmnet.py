@@ -141,16 +141,19 @@ class SFMNet(nn.Module):
         else:
             pair = jnp.concatenate([ref, target], axis=-1)
             if train:
-                flow_all, _ = self.flow_net(pair, train=True, all_iters=True)
+                flow_all, conf = self.flow_net(pair, train=True,
+                                               all_iters=True)
                 flow = flow_all[-1]
             else:
-                flow, _ = self.flow_net(pair, train=False)
+                flow, conf = self.flow_net(pair, train=False)
             flow = flow.astype(jnp.float32)
 
             if cfg.pose.estimator == "RANSAC":
                 pose, inliers = self._pose_by_ransac(flow, K_inv, key)
             elif cfg.pose.estimator == "POSENET":
-                rt = self.pose_net(flow, ref, target)
+                # the flow confidence (DICL entropy; None for RAFT) is a
+                # pose-net input in the reference (SFMnet.py:133)
+                rt = self.pose_net(flow, ref, target, conf)
                 from deep_sfm_revisited_tpu.ops.rotations import rt_to_pose
 
                 pose = rt_to_pose(rt)

@@ -488,6 +488,7 @@ def convert_reference_checkpoint(
     depth: str = "PSNET",
     context_bn: bool = False,
     dep_context: bool = True,
+    pose: str | None = None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Port a full reference SFMnet checkpoint into SFMNet variables.
 
@@ -514,6 +515,10 @@ def convert_reference_checkpoint(
             context_bn=context_bn, dep_context=dep_context)
     elif depth is not None:
         raise NotImplementedError(f"depth estimator port: {depth}")
+    if pose == "POSENET":
+        entries += plainpose_entries("posenet", "pose_net")
+    elif pose is not None:
+        raise NotImplementedError(f"pose estimator port: {pose}")
     # normalize the empty-prefix case ("".x -> x); conv2d_cat entries
     # carry a TUPLE of torch prefixes in the key slot
     def _strip(t):

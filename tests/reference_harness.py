@@ -80,6 +80,18 @@ def load_reference(yaml_name: str = "kitti.yml"):
     torch.cuda.current_device = lambda: torch.device("cpu")
     torch.Tensor.cuda = lambda self, *a, **k: self
 
+    try:
+        import cv2
+
+        if not hasattr(cv2, "xfeatures2d"):
+            # SIFT graduated out of xfeatures2d in modern OpenCV; SURF is
+            # patent-gated and absent — stub it (never invoked in tests)
+            cv2.xfeatures2d = types.SimpleNamespace(
+                SIFT_create=cv2.SIFT_create, SURF_create=cv2.SIFT_create
+            )
+    except ImportError:
+        pass
+
     from lib import config as ref_config
 
     with open(pathlib.Path(REFERENCE_ROOT, "cfgs", yaml_name)) as f:

@@ -125,6 +125,97 @@ def test_raft_end_to_end_matches_reference():
     assert d.max() < 5e-2, d.max()  # observed ~1.1e-2 on ~14 px flows
 
 
+def test_sfmnet_composite_matches_reference():
+    """Composite orchestration parity: DICL flow -> PlainPose (RT2Pose)
+    -> PSNet, plus the GT-pose route through the reference's REAL
+    forward (SFMnet.py:95-174). The POSENET branch of the shipped
+    forward crashes (E_mat unbound, SFMnet.py:133-166), so that chain is
+    driven through the same components manually.
+
+    PSNet conv weights are scaled (eval-BN explosion, see the PSNet
+    test); pose_reg is scaled UP so the regressed translation is not
+    near zero (F.normalize of a ~1e-3 vector amplifies float noise into
+    direction chaos).
+    """
+    refcfg = load_reference()
+    refcfg.POSE_EST = "POSENET"
+    refcfg.MIXED_PREC = False  # autocast is CUDA-only; numerics unchanged
+    import torch
+
+    try:
+        torch.manual_seed(0)
+        from models.SFMnet import RT2Pose, SFMnet as RefSFMnet
+
+        NLABEL = 8
+        tm = RefSFMnet(NLABEL, refcfg.MIN_DEPTH).eval()
+        with torch.no_grad():
+            for m in tm.depth_estimator.modules():
+                if isinstance(m, (torch.nn.Conv2d, torch.nn.Conv3d)):
+                    m.weight.mul_(0.5)
+            tm.posenet.pose_reg.weight.mul_(50.0)
+        B, H, W = 1, 256, 384
+        ref_t = torch.rand(B, 3, H, W) * 2 - 1
+        tgt_t = torch.rand(B, 3, H, W) * 2 - 1
+        K = torch.tensor([[[200.0, 0, W / 2], [0, 200.0, H / 2],
+                           [0, 0, 1]]])
+        pose_gt = torch.cat(
+            [torch.eye(3), torch.tensor([[0.6], [0.1], [0.79]])], dim=1
+        )[None].float()
+
+        with torch.no_grad():
+            tflow, tconf = tm.flow_estimator(
+                torch.cat((ref_t, tgt_t), dim=1))
+            tP = RT2Pose(tm.posenet(tflow, tconf, ref_t, tgt_t))
+            _, tdepth = tm.depth_estimator(
+                ref_t, [tgt_t], tP.unsqueeze(1).clone(), K,
+                torch.inverse(K))
+            touts_gt = tm(ref_t, tgt_t, K, pose_gt=pose_gt.clone(),
+                          use_gt_pose=True)
+        tdepth_gt = touts_gt[2].numpy()
+
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+        from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+
+        cfg = SfMConfig.kitti(nlabel=NLABEL).override(**{
+            "flow.estimator": "DICL",
+            "pose.estimator": "POSENET",
+        })
+        net = SFMNet(cfg, dtype=jnp.float32)
+        jref = jnp.asarray(ref_t.numpy().transpose(0, 2, 3, 1))
+        jtgt = jnp.asarray(tgt_t.numpy().transpose(0, 2, 3, 1))
+        jK = jnp.asarray(K.numpy())
+        jpose = jnp.asarray(pose_gt.numpy())
+        variables = net.init(jax.random.PRNGKey(0), jref, jtgt, jK,
+                             pose_gt=jpose, key=jax.random.PRNGKey(1))
+        ported, report = tp.convert_reference_checkpoint(
+            sd, variables, flow="DICL", depth="PSNET", pose="POSENET")
+        assert not report["missing"], report["missing"][:8]
+        leftover = [k for k in report["unused"]
+                    if "num_batches_tracked" not in k]
+        assert not leftover, leftover[:8]
+
+        out = net.apply(ported, jref, jtgt, jK, pose_gt=jpose,
+                        key=jax.random.PRNGKey(2))
+        assert np.abs(tflow.numpy().transpose(0, 2, 3, 1)
+                      - np.asarray(out["flow"])).max() < 5e-3
+        assert np.abs(tP.numpy() - np.asarray(out["pose"])).max() < 1e-3
+        a = tdepth.numpy().reshape(B, H, W)
+        rel = (np.abs(a - np.asarray(out["depth"]))
+               / np.maximum(np.abs(a), 1.0))
+        assert rel.max() < 1e-3, rel.max()
+
+        out_gt = net.apply(ported, jref, jtgt, jK, pose_gt=jpose,
+                           use_gt_pose=True, key=jax.random.PRNGKey(2))
+        a = tdepth_gt.reshape(B, H, W)
+        rel = (np.abs(a - np.asarray(out_gt["depth"]))
+               / np.maximum(np.abs(a), 1.0))
+        assert rel.max() < 1e-3, rel.max()
+    finally:
+        refcfg.POSE_EST = "RANSAC"
+        refcfg.MIXED_PREC = True
+
+
 def _depth_alt_fixture(RefNet, nlabel=8, B=1, H=128, W=192, e_mat=False):
     """Shared scaffolding for the alternate-depth parity tests: a scaled
     fresh-init reference net, a synthetic pair+pose, and the torch run."""
