@@ -189,9 +189,11 @@ def multiscale_flow_loss(
 # ---------------------------------------------------------------------------
 
 
-def charbonnier(x: jnp.ndarray, alpha: float = 0.45,
+def charbonnier(x: jnp.ndarray, alpha: float = 0.5,
                 eps: float = 1e-3) -> jnp.ndarray:
-    """Generalized Charbonnier penalty (≙ loss_functions.py robust norm)."""
+    """Charbonnier penalty. The reference's `charbonnier_penalty` is
+    sqrt(err^2 + 0.001^2) (loss_functions.py:209-210) = alpha 0.5; alpha
+    stays a knob for the generalized form."""
     return (x * x + eps * eps) ** alpha
 
 
@@ -206,17 +208,20 @@ def photometric_loss(
     from deep_sfm_revisited_tpu.models.dicl import warp_flow
 
     warped = warp_flow(target, flow)
-    diff = jnp.sum(charbonnier(warped - ref), axis=-1)
+    diff = charbonnier(warped - ref)  # per channel, as the reference
     if occlusion is None:
         return jnp.mean(diff)
-    return _masked_mean(diff, occlusion > 0.5)
+    m = occlusion.astype(diff.dtype)[..., None]
+    # occlusion-normalized mean (loss_functions.py:84-85)
+    return jnp.mean(diff * m) / (jnp.mean(m) + 1e-3)
 
 
-def _census_transform(img: jnp.ndarray, patch: int = 7) -> jnp.ndarray:
-    """Ternary census descriptors (≙ the ternary census term,
-    loss_functions.py:99-155): normalized differences of each pixel to its
-    patch neighborhood over image intensity."""
-    gray = jnp.mean(img, axis=-1, keepdims=True) * 255.0
+def _census_transform(img: jnp.ndarray, patch: int = 3) -> jnp.ndarray:
+    """Ternary census descriptors (≙ `ternary_transform` inside
+    `ternary_loss`, loss_functions.py:131-139): normalized differences of
+    each pixel to its patch neighborhood over the reference's intensity
+    mapping (0.5 * mean(channels) + 0.5) * 255 for [-1, 1] images."""
+    gray = (0.5 * jnp.mean(img, axis=-1, keepdims=True) + 0.5) * 255.0
     r = patch // 2
     pad = jnp.pad(gray, ((0, 0), (r, r), (r, r), (0, 0)))
     B, H, W, _ = img.shape
@@ -236,18 +241,26 @@ def census_loss(
     target: jnp.ndarray,
     flow: jnp.ndarray,
     occlusion: Optional[jnp.ndarray] = None,
-    patch: int = 7,
+    patch: int = 3,
 ) -> jnp.ndarray:
-    """Ternary census matching loss on warped descriptors."""
+    """Ternary census matching loss on warped images
+    (≙ `ternary_loss`, loss_functions.py:129-155): soft hamming distance
+    of census descriptors, Charbonnier-penalized, averaged under the
+    occlusion mask with a (patch//2)-pixel border zeroed (`create_mask`)
+    and normalized by the mask mean."""
     from deep_sfm_revisited_tpu.models.dicl import warp_flow
 
     c_ref = _census_transform(ref, patch)
     c_tgt = _census_transform(warp_flow(target, flow), patch)
     d = c_ref - c_tgt
     dist = jnp.sum(d * d / (0.1 + d * d), axis=-1)
-    if occlusion is None:
-        return jnp.mean(charbonnier(dist))
-    return _masked_mean(charbonnier(dist), occlusion > 0.5)
+    B, H, W = dist.shape
+    r = patch // 2
+    border = jnp.zeros((H, W), dist.dtype).at[r:H - r, r:W - r].set(1.0)
+    m = border[None]
+    if occlusion is not None:
+        m = m * occlusion.astype(dist.dtype)
+    return jnp.mean(charbonnier(dist) * m) / (jnp.mean(m) + 1e-3)
 
 
 def occlusion_mask_fb(
@@ -264,19 +277,43 @@ def occlusion_mask_fb(
     return (~occluded).astype(flow_fw.dtype)
 
 
-def smoothness_loss_2nd(flow: jnp.ndarray, image: jnp.ndarray,
-                        edge_weight: float = 10.0) -> jnp.ndarray:
-    """Edge-aware second-order smoothness (≙ loss_functions.py:98-126)."""
-    def grad2(x, axis):
-        a = jnp.diff(x, n=2, axis=axis)
-        return a
+def weighted_smooth_depth_loss(pred: jnp.ndarray,
+                               image: jnp.ndarray,
+                               edge_weight: float = 0.5) -> jnp.ndarray:
+    """Edge-aware 1st+2nd-order smoothness on a depth/disparity map
+    (≙ `weighted_smooth_depth_loss`, loss_functions.py:98-126): gradients
+    along H and W plus the three second-order terms, each weighted by
+    exp(-0.5 * mean-channel |image gradient|) of the matching order, and
+    summed as plain absolute means.
 
-    gx_img = jnp.mean(jnp.abs(jnp.diff(image, axis=2)), axis=-1)
-    gy_img = jnp.mean(jnp.abs(jnp.diff(image, axis=1)), axis=-1)
-    wx = jnp.exp(-edge_weight * gx_img)[..., None]
-    wy = jnp.exp(-edge_weight * gy_img)[..., None]
-    fxx = grad2(flow, 2)
-    fyy = grad2(flow, 1)
-    lx = jnp.mean(wx[:, :, 1:] * charbonnier(fxx))
-    ly = jnp.mean(wy[:, 1:] * charbonnier(fyy))
-    return lx + ly
+    pred (B, H, W); image (B, H, W, C).
+    """
+    def g_h(x):
+        return x[:, 1:] - x[:, :-1]
+
+    def g_w(x):
+        return x[:, :, 1:] - x[:, :, :-1]
+
+    Ix, Iy = g_h(image), g_w(image)
+    Ix2, IxIy = g_h(Ix), g_w(Ix)
+    IyIx, Iy2 = g_h(Iy), g_w(Iy)
+
+    def w(t):
+        return jnp.exp(-edge_weight * jnp.mean(jnp.abs(t), axis=-1))
+
+    dx, dy = g_h(pred), g_w(pred)
+    dx2, dxdy = g_h(dx), g_w(dx)
+    dydx, dy2 = g_h(dy), g_w(dy)
+    terms = (
+        dx * w(Ix), dy * w(Iy), dx2 * w(Ix2), dxdy * w(IxIy),
+        dydx * w(IyIx), dy2 * w(Iy2),
+    )
+    return sum(jnp.mean(jnp.abs(t)) for t in terms)
+
+
+def smoothness_loss_2nd(flow: jnp.ndarray, image: jnp.ndarray,
+                        edge_weight: float = 0.5) -> jnp.ndarray:
+    """Edge-aware smoothness on a 2-channel flow field: the reference
+    depth form applied per flow component."""
+    return (weighted_smooth_depth_loss(flow[..., 0], image, edge_weight)
+            + weighted_smooth_depth_loss(flow[..., 1], image, edge_weight))

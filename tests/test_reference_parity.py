@@ -125,6 +125,95 @@ def test_raft_end_to_end_matches_reference():
     assert d.max() < 5e-2, d.max()  # observed ~1.1e-2 on ~14 px flows
 
 
+def test_flow_losses_match_reference():
+    """Flow-training losses vs the reference's `loss_functions.py`:
+    MultiScale_UP (L1, KITTI weights + valid ranges, full-res stack —
+    the form the DICL trainer feeds) and realEPE, with and without an
+    extra mask."""
+    refcfg = load_reference()
+    import torch
+
+    import loss_functions as ref_losses
+
+    from deep_sfm_revisited_tpu.train.losses import (
+        flow_epe,
+        multiscale_flow_loss,
+    )
+
+    torch.manual_seed(0)
+    B, H, W, L = 2, 64, 96, 6
+    preds_t = tuple(torch.randn(B, 2, H, W) * 30 for _ in range(L))
+    gt_t = torch.randn(B, 2, H, W) * 30
+    weights = list(refcfg.MultiScale_W[:L])
+    vrange = [list(v) for v in refcfg.VALID_RANGE[:L]]
+
+    t_loss, _, t_epe = ref_losses.MultiScale_UP(
+        preds_t, gt_t, loss_type="L1", weight=weights, valid_range=vrange)
+
+    preds_j = [jnp.asarray(p.numpy().transpose(0, 2, 3, 1)) for p in preds_t]
+    gt_j = jnp.asarray(gt_t.numpy().transpose(0, 2, 3, 1))
+    j_loss = multiscale_flow_loss(preds_j, gt_j, weights,
+                                  valid_range=vrange)
+    assert abs(float(t_loss) - float(j_loss)) < 1e-3 * abs(float(t_loss))
+
+    # realEPE without valid range; and EPE under an extra mask
+    t_epe2 = ref_losses.realEPE(preds_t[0], gt_t)
+    j_epe2 = flow_epe(preds_j[0], gt_j)
+    assert abs(float(t_epe2) - float(j_epe2)) < 1e-4 * abs(float(t_epe2))
+    mask_t = (torch.rand(B, H, W) > 0.5).float()
+    t_epe3 = ref_losses.realEPE(preds_t[0], gt_t, extra_mask=mask_t)
+    j_epe3 = flow_epe(preds_j[0], gt_j,
+                      valid=jnp.asarray(mask_t.numpy()) > 0.5)
+    assert abs(float(t_epe3) - float(j_epe3)) < 1e-4 * abs(float(t_epe3))
+
+
+def test_census_and_photometric_losses_match_reference():
+    """`ternary_loss` (loss_functions.py:129-155) and the Charbonnier
+    photometric term (:84-85) vs our census/photometric losses, with zero
+    flow so both sides see identical warped images."""
+    load_reference()
+    import torch
+
+    import loss_functions as ref_losses
+
+    from deep_sfm_revisited_tpu.train.losses import (
+        census_loss,
+        photometric_loss,
+    )
+
+    torch.manual_seed(1)
+    B, H, W = 2, 48, 64
+    i1 = torch.rand(B, 3, H, W) * 2 - 1
+    i2 = torch.rand(B, 3, H, W) * 2 - 1
+    mask = (torch.rand(B, 1, H, W) > 0.3).float()
+
+    t_cen = ref_losses.ternary_loss(i1, i2, mask)
+    t_pho = ((ref_losses.charbonnier_penalty(i2 - i1) * mask).mean()
+             / (mask.mean() + 1e-3))
+
+    j1 = jnp.asarray(i1.numpy().transpose(0, 2, 3, 1))
+    j2 = jnp.asarray(i2.numpy().transpose(0, 2, 3, 1))
+    jm = jnp.asarray(mask.numpy()[:, 0])
+    zf = jnp.zeros((B, H, W, 2))
+    j_cen = census_loss(j1, j2, zf, occlusion=jm)
+    j_pho = photometric_loss(j1, j2, zf, occlusion=jm)
+    assert abs(float(t_cen) - float(j_cen)) < 1e-4 * abs(float(t_cen)), (
+        float(t_cen), float(j_cen))
+    assert abs(float(t_pho) - float(j_pho)) < 1e-4 * abs(float(t_pho)), (
+        float(t_pho), float(j_pho))
+
+    # weighted smoothness (loss_functions.py:98-126)
+    from deep_sfm_revisited_tpu.train.losses import (
+        weighted_smooth_depth_loss,
+    )
+
+    disp = torch.rand(B, H, W) * 5
+    t_sm = ref_losses.weighted_smooth_depth_loss(disp, i1)
+    j_sm = weighted_smooth_depth_loss(jnp.asarray(disp.numpy()), j1)
+    assert abs(float(t_sm) - float(j_sm)) < 1e-4 * abs(float(t_sm)), (
+        float(t_sm), float(j_sm))
+
+
 def test_sfmnet_composite_matches_reference():
     """Composite orchestration parity: DICL flow -> PlainPose (RT2Pose)
     -> PSNet, plus the GT-pose route through the reference's REAL
