@@ -109,16 +109,35 @@ class _Bottleneck(nn.Module):
 
 
 class MotionNet(nn.Module):
-    """Stride-2 conv pyramid + linear head -> 6-DoF
-    (ref `MotionNet`, PoseNet.py:348+)."""
+    """Shrink + normalized flow-coordinate channels + stride-2 conv
+    pyramid + linear head -> (rot3, unit trans3)
+    (ref `MotionNet`, PoseNet.py:348-432): the fused feature map is
+    1x1-shrunk to 32 channels and concatenated with 4 channels of
+    [pixel, pixel+flow] coordinates normalized to [-1, 1]; each pyramid
+    stage is TWO stride-2 biased convs with LeakyReLU(0.1); spatial mean,
+    two (512->256->256) linear+leaky layers, and a 6-way head whose
+    translation half is L2-normalized (NO 0.01 scaling — that is
+    PlainPose-only)."""
 
     conv_sizes: tuple = (64, 128, 256, 512, 512)
-    lin_sizes: tuple = (512, 256, 256)
+    lin_sizes: tuple = (256, 256)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, flow):
         d = self.dtype
+        B, H, W, _ = x.shape
+        x = nn.leaky_relu(
+            nn.Conv(32, (1, 1), dtype=d)(x), 0.1)  # shrink (PoseNet.py:384)
+        gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32),
+                              indexing="ij")
+        pix = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (B, H, W, 2))
+        fp = pix + jax.lax.stop_gradient(flow.astype(jnp.float32))
+        info = jnp.concatenate([pix, fp], axis=-1)
+        norm = jnp.asarray([W / 2, H / 2, W / 2, H / 2], jnp.float32)
+        info = (info - norm) / norm  # (PoseNet.py:411-420)
+        x = jnp.concatenate([x, info.astype(d)], axis=-1)  # 36 ch
         for c in self.conv_sizes:
             x = nn.leaky_relu(
                 nn.Conv(c, (3, 3), strides=(2, 2), padding=1, dtype=d)(x), 0.1
@@ -126,10 +145,14 @@ class MotionNet(nn.Module):
             x = nn.leaky_relu(
                 nn.Conv(c, (3, 3), strides=(2, 2), padding=1, dtype=d)(x), 0.1
             )
-        x = jnp.mean(x, axis=(1, 2))  # global pool (adaptive to input size)
+        x = jnp.mean(x, axis=(1, 2))  # spatial mean (PoseNet.py:426-427)
         for c in self.lin_sizes:
             x = nn.leaky_relu(nn.Dense(c, dtype=d)(x), 0.1)
-        return nn.Dense(6, dtype=d)(x)
+        pose = nn.Dense(6, dtype=d)(x).astype(jnp.float32)
+        t = pose[:, 3:]
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True),
+                            1e-12)
+        return jnp.concatenate([pose[:, :3], t], axis=-1)
 
 
 class ResNetPose(nn.Module):
@@ -180,16 +203,18 @@ class ResNetPose(nn.Module):
             )
             x = jnp.concatenate([y, x], axis=-1)
 
-        pose = MotionNet(dtype=d)(x).astype(jnp.float32) * 0.01
-        t = pose[:, 3:]
-        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
-        return jnp.concatenate([pose[:, :3], t], axis=-1)
+        # MotionNet consumes the fused map AND the 1/4-res flow
+        # (PoseNet.py:282,302); output is already (rot3, unit trans3)
+        flow_q = resize_bilinear(flow.astype(d), x.shape[1:3])
+        return MotionNet(dtype=d)(x, flow_q)
 
 
 class _ResNetStem(nn.Module):
-    """conv7/2 + maxpool/2 + layer1 (3x bottleneck-64) + layer2
-    (4x bottleneck-64, stride 2) — the layers the reference forward
-    actually uses (`models/PoseNet.py:269-280`)."""
+    """conv7/2 + layer1 (3x bottleneck-64) + layer2 (4x bottleneck-64,
+    first stride 2) — the layers the reference forward actually uses
+    (`models/PoseNet.py:269-280`). NOTE: the constructed maxpool is
+    SKIPPED by the forward, so features come out at 1/4 resolution,
+    matching the 1/4-downsampled flow the head consumes."""
 
     dtype: Dtype = jnp.float32
 
@@ -202,10 +227,9 @@ class _ResNetStem(nn.Module):
             nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=d)(x)
         )
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for _ in range(3):  # layer1
+            x = _Bottleneck(64, 1, d)(x, train)
+        x = _Bottleneck(64, 2, d)(x, train)  # layer2, 4 blocks
         for _ in range(3):
             x = _Bottleneck(64, 1, d)(x, train)
-        x = _Bottleneck(64, 2, d)(x, train)
-        for _ in range(3):
-            x = _Bottleneck(64, 1, d)(x, train)
-        return x  # 256 ch at 1/8
+        return x  # 256 ch at 1/4

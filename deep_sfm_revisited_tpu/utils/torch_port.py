@@ -364,6 +364,42 @@ def dispnet_entries(t: str = "depth_estimator", f: str = "depth_net",
     return e
 
 
+def resnetpose_entries(t: str = "posenet",
+                       f: str = "pose_net") -> List[Entry]:
+    """ResNet pose regressor (PoseNet.py:170-312 + MotionNet :348-432):
+    conv1/bn1 stem (maxpool constructed but SKIPPED by the forward),
+    layer1 (3x bottleneck) + layer2 (4x, first strided), down_layer,
+    dense fusion conv3_0..4, and the MotionNet head."""
+    e: List[Entry] = [("conv2d", f"{t}.conv1", f"{f}/stem/Conv_0"),
+                      ("bn", f"{t}.bn1", f"{f}/stem/BatchNorm_0")]
+    blk = 0
+    for layer, blocks in (("layer1", 3), ("layer2", 4)):
+        for b in range(blocks):
+            tb = f"{t}.{layer}.{b}"
+            fb = f"{f}/stem/_Bottleneck_{blk}"
+            for i in (1, 2, 3):
+                e += [("conv2d", f"{tb}.conv{i}", f"{fb}/Conv_{i - 1}"),
+                      ("bn", f"{tb}.bn{i}", f"{fb}/BatchNorm_{i - 1}")]
+            if b == 0:  # both layers' first block carries a downsample
+                e += [("conv2d", f"{tb}.downsample.0", f"{fb}/Conv_3"),
+                      ("bn", f"{tb}.downsample.1", f"{fb}/BatchNorm_3")]
+            blk += 1
+    e += [("conv2d", f"{t}.down_layer.0", f"{f}/Conv_0"),
+          ("bn", f"{t}.down_layer.1", f"{f}/BatchNorm_0")]
+    for i in range(5):  # conv3_0..conv3_4 dense fusion
+        e += [("conv2d", f"{t}.conv3_{i}.0", f"{f}/Conv_{i + 1}"),
+              ("bn", f"{t}.conv3_{i}.1", f"{f}/BatchNorm_{i + 1}")]
+    m = f"{f}/MotionNet_0"
+    e += [("conv2d", f"{t}.motion_1.shrink.0", f"{m}/Conv_0")]
+    for i in range(10):  # conv_layers: Sequential interleaved with leaky
+        e += [("conv2d", f"{t}.motion_1.conv_layers.{2 * i}",
+               f"{m}/Conv_{i + 1}")]
+    e += [("linear", f"{t}.motion_1.dropout_layers.0", f"{m}/Dense_0"),
+          ("linear", f"{t}.motion_1.dropout_layers.2", f"{m}/Dense_1"),
+          ("linear", f"{t}.motion_1.last_layer", f"{m}/Dense_2")]
+    return e
+
+
 def cvpmvs_entries(t: str = "depth_estimator",
                    f: str = "depth_net") -> List[Entry]:
     """CVPMVS (models/CVPMVS.py:19-96): feature pyramid + 3D U-Net.

@@ -444,6 +444,53 @@ def test_dispnet_end_to_end_matches_reference():
         assert d.max() < 2e-2 and d.mean() < 1e-3, (d.max(), d.mean())
 
 
+def test_resnetpose_end_to_end_matches_reference():
+    """ResNet pose regressor (PoseNet.py:170-312 + MotionNet): ported
+    weights match exactly (observed ~6e-8). Covers the skipped-maxpool
+    stem resolution, the MotionNet shrink + normalized flow-coordinate
+    channels, and the unscaled (rot3, unit trans3) head."""
+    load_reference()
+    import torch
+
+    torch.manual_seed(0)
+    from models.PoseNet import Bottleneck, ResNet
+
+    tm = ResNet(Bottleneck, [3, 4, 6, 3]).eval()
+    B, H, W = 2, 64, 96
+    flow_t = torch.randn(B, 2, H, W) * 3
+    conf_t = torch.rand(B, 1, H, W)
+    ref_t = torch.rand(B, 3, H, W) * 2 - 1
+    tgt_t = torch.rand(B, 3, H, W) * 2 - 1
+    with torch.no_grad():
+        tpose = tm(flow_t, conf_t, ref_t, tgt_t).numpy()
+
+    sd = {f"posenet.{k}": v.numpy() for k, v in tm.state_dict().items()}
+
+    from deep_sfm_revisited_tpu.models.posenet import ResNetPose
+
+    net = ResNetPose()
+
+    def j(t):
+        return jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+
+    variables = net.init(jax.random.PRNGKey(0), j(flow_t), j(ref_t),
+                         j(tgt_t), j(conf_t), False)
+    entries = [
+        (kind, tkey, fpath.replace("pose_net/", ""))
+        for kind, tkey, fpath in tp.resnetpose_entries("posenet",
+                                                       "pose_net")
+    ]
+    ported, report = tp.apply_entries(sd, variables, entries)
+    assert not report["missing"], report["missing"][:8]
+    leftover = [k for k in set(sd) - set(report["consumed"])
+                if "num_batches_tracked" not in k]
+    assert not leftover, leftover[:8]
+
+    jpose = np.asarray(net.apply(ported, j(flow_t), j(ref_t), j(tgt_t),
+                                 j(conf_t), False))
+    assert np.abs(jpose - tpose).max() < 1e-5, np.abs(jpose - tpose).max()
+
+
 def test_cvpmvs_end_to_end_matches_reference():
     """CVPMVS (CVPMVS.py:19-224): ported weights reproduce the finest
     depth to f32 precision (observed ~5e-5 on 47 m). Covers the BGR fold,
