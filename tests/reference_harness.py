@@ -105,6 +105,46 @@ def load_reference(yaml_name: str = "kitti.yml"):
     return _loaded_cfg
 
 
+def install_minieigen_shim():
+    """Stub the `minieigen` dependency of demon_metrics.py (Quaternion /
+    Vector3) with the small numpy subset `compute_motion_errors` uses."""
+    import math
+
+    import numpy as np
+
+    class Vector3:
+        def __init__(self, x, y, z):
+            self.v = np.array([x, y, z], dtype=np.float64)
+
+        def norm(self):
+            return float(np.linalg.norm(self.v))
+
+        def normalize(self):
+            self.v = self.v / np.linalg.norm(self.v)
+
+        def dot(self, o):
+            return float(self.v @ o.v)
+
+        def __sub__(self, o):
+            return Vector3(*(self.v - o.v))
+
+    class Quaternion:
+        def __init__(self, angle, axis):  # minieigen AngleAxis ctor
+            half = 0.5 * float(angle)
+            a = axis.v / max(np.linalg.norm(axis.v), 1e-300)
+            self.q = np.concatenate([[math.cos(half)],
+                                     math.sin(half) * a])
+
+        def angularDistance(self, o):
+            d = abs(float(self.q @ o.q))
+            return 2.0 * math.acos(min(1.0, d))
+
+    mod = types.ModuleType("minieigen")
+    mod.Vector3 = Vector3
+    mod.Quaternion = Quaternion
+    sys.modules.setdefault("minieigen", mod)
+
+
 def bn_eval_train_returns(module):
     """Put `module` in train() (for the multi-output return path) but force
     every BatchNorm back to eval so running stats are used."""

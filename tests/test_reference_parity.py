@@ -125,6 +125,80 @@ def test_raft_end_to_end_matches_reference():
     assert d.max() < 5e-2, d.max()  # observed ~1.1e-2 on ~14 px flows
 
 
+def test_motion_and_depth_metrics_match_reference():
+    """`compute_motion_errors` (demon_metrics.py:391-456, via a numpy
+    minieigen shim) and the DeMoN depth distances (l1_inverse,
+    scale_invariant, abs_relative) vs our train.metrics."""
+    load_reference()
+    from reference_harness import install_minieigen_shim
+
+    install_minieigen_shim()
+    import demon_metrics as ref_m
+
+    from deep_sfm_revisited_tpu.train.metrics import (
+        depth_metrics,
+        motion_errors,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        aa1 = rng.normal(size=3) * 0.3
+        aa2 = aa1 + rng.normal(size=3) * 0.05
+        t1 = rng.normal(size=3)
+        t2 = t1 + rng.normal(size=3) * 0.2
+        rot_deg, tdist, tang_deg = ref_m.compute_motion_errors(
+            np.concatenate([aa2, t2]), np.concatenate([aa1, t1]))
+
+        def rodrigues(aa):
+            th = np.linalg.norm(aa)
+            k = aa / max(th, 1e-12)
+            K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                          [-k[1], k[0], 0]])
+            return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+        P1 = np.concatenate([rodrigues(aa1), t1[:, None]], 1)[None]
+        P2 = np.concatenate([rodrigues(aa2), t2[:, None]], 1)[None]
+        r_err, t_dist, t_ang = motion_errors(jnp.asarray(P2),
+                                             jnp.asarray(P1))
+        assert abs(np.degrees(float(r_err[0])) - rot_deg) < 1e-3, (
+            np.degrees(float(r_err[0])), rot_deg)
+        assert abs(float(t_dist[0]) - tdist) < 1e-5
+        assert abs(np.degrees(float(t_ang[0])) - tang_deg) < 1e-3
+
+    d_gt = rng.uniform(1.0, 50.0, size=(32, 48))
+    d_pred = d_gt * rng.uniform(0.8, 1.2, size=d_gt.shape)
+    ours = depth_metrics(jnp.asarray(d_gt), jnp.asarray(d_pred),
+                         jnp.ones(d_gt.shape, bool))
+    assert abs(float(ours["l1_inv"])
+               - ref_m.l1_inverse(d_pred, d_gt)) < 1e-6
+    assert abs(float(ours["sc_inv"])
+               - ref_m.scale_invariant(d_pred, d_gt)) < 1e-6
+    assert abs(float(ours["abs_rel"])
+               - ref_m.abs_relative(d_pred, d_gt)) < 1e-6
+
+
+def test_flow_viz_matches_reference():
+    """Middlebury flow colorization vs the reference's `flow_viz.py`."""
+    load_reference()
+    import flow_viz as ref_viz
+
+    from deep_sfm_revisited_tpu.utils.viz import flow_to_rgb, make_colorwheel
+
+    assert np.array_equal(make_colorwheel(), ref_viz.make_colorwheel())
+
+    rng = np.random.default_rng(3)
+    flow = rng.normal(size=(40, 56, 2)).astype(np.float32) * 8
+    ours = flow_to_rgb(flow)
+    theirs = ref_viz.flow_to_image(flow.copy(), valid=None)
+    assert ours.shape == theirs.shape
+    d = np.abs(ours.astype(int) - theirs.astype(int))
+    # identical up to uint8 rounding except isolated wheel-segment
+    # boundary pixels (floor-vs-round differences); observed: 99.97%
+    # within +-1, mean |d| = 0.01
+    assert (d > 1).mean() < 5e-3 and d.mean() < 0.1, (
+        d.max(), d.mean(), (d > 1).mean())
+
+
 def test_flow_losses_match_reference():
     """Flow-training losses vs the reference's `loss_functions.py`:
     MultiScale_UP (L1, KITTI weights + valid ranges, full-res stack —
