@@ -288,6 +288,52 @@ def test_census_and_photometric_losses_match_reference():
         float(t_sm), float(j_sm))
 
 
+def test_depth_training_loss_matches_reference():
+    """RESCALE_DEPTH depth loss vs a line-by-line torch replica of
+    main.py:350-394 (the logic is inline in train_epoch, not importable):
+    validity window, scale-window frame drop, |t|/NORM_TARGET rescale of
+    the refined output only, optional REMASK, 0.7-weighted init term."""
+    load_reference()
+    import torch
+    import torch.nn.functional as F
+
+    from deep_sfm_revisited_tpu.train.losses import depth_training_loss
+
+    torch.manual_seed(0)
+    B, H, W = 4, 24, 32
+    nlabel, min_depth, norm_target = 16, 0.5, 0.6
+    gt = torch.rand(B, H, W) * 12  # some pixels out of the [0.5, 8] window
+    d_init = torch.rand(B, H, W) * 8
+    d_out = torch.rand(B, H, W) * 8
+    t = torch.randn(B, 3) * 0.8  # some frames outside [0.2, 2.0]
+    pose = torch.cat([torch.eye(3).expand(B, 3, 3), t[:, :, None]], -1)
+
+    for remask in (False, True):
+        scale = torch.norm(t, dim=-1)
+        scale_mask = (scale > 0.2) & (scale < 2.0)
+        ratio = (scale / norm_target).view(B, 1, 1)
+        mask = (gt <= nlabel * min_depth) & (gt >= min_depth) & (gt == gt)
+        d_scaled = d_out * ratio
+        if remask:
+            gt_r = gt / ratio
+            mask = ((gt_r <= nlabel * min_depth) & (gt_r >= min_depth)
+                    & (gt_r == gt_r))
+        t_init = 0.7 * F.smooth_l1_loss(d_init[scale_mask][mask[scale_mask]],
+                                        gt[scale_mask][mask[scale_mask]])
+        t_out = F.smooth_l1_loss(d_scaled[scale_mask][mask[scale_mask]],
+                                 gt[scale_mask][mask[scale_mask]])
+        t_loss = float(t_init + t_out)
+
+        j_loss, _ = depth_training_loss(
+            jnp.asarray(d_init.numpy()), jnp.asarray(d_out.numpy()),
+            jnp.asarray(gt.numpy()), jnp.asarray(pose.numpy()),
+            nlabel=nlabel, min_depth=min_depth, rescale_depth=True,
+            norm_target=norm_target, remask=remask,
+        )
+        assert abs(float(j_loss) - t_loss) < 1e-5 * max(abs(t_loss), 1.0), (
+            remask, float(j_loss), t_loss)
+
+
 def test_sfmnet_composite_matches_reference():
     """Composite orchestration parity: DICL flow -> PlainPose (RT2Pose)
     -> PSNet, plus the GT-pose route through the reference's REAL
