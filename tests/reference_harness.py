@@ -80,6 +80,21 @@ def load_reference(yaml_name: str = "kitti.yml"):
     torch.cuda.current_device = lambda: torch.device("cpu")
     torch.Tensor.cuda = lambda self, *a, **k: self
 
+    if "torchvision" not in sys.modules:
+        # torchvision is absent; KITTI_loader only uses
+        # ColorJitter.get_params for train-time photometric aug
+        class _ColorJitter:
+            @staticmethod
+            def get_params(*a, **k):
+                return lambda img: img
+
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.ColorJitter = _ColorJitter
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+
     try:
         import cv2
 

@@ -199,6 +199,71 @@ def test_flow_viz_matches_reference():
         d.max(), d.mean(), (d > 1).mean())
 
 
+def test_kitti_vo_loader_matches_reference(tmp_path):
+    """Drive the reference's KITTIVOLoaderGT and our KittiVODataset on the
+    same synthetic odometry tree (test split, no transforms) and require
+    identical images, intrinsics, relative poses, and masked depth for
+    every index — including the sequence-boundary -skip fallback.
+
+    Orientation note: the reference trains "backward" — the model's
+    reference frame is frame 2 (main.py:340-345) — so our item's ref
+    image is the reference loader's inputs[1] and our pose_gt its
+    poses[1] (bw).
+    """
+    refcfg = load_reference()
+    import os
+
+    from imageio.v2 import imwrite
+
+    root = tmp_path / "kitti_vo"
+    rng = np.random.default_rng(0)
+    os.makedirs(root / "poses")
+    for seq in range(11):  # the reference loads pose files for ALL seqs
+        n = 4 if seq in (9, 10) else 1
+        poses = []
+        for i in range(n):
+            t = np.array([0.1 * i, 0.05 * i, 1.2 * i])
+            ang = 0.05 * i
+            R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                          [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+            poses.append(np.concatenate([R, t[:, None]], 1).reshape(-1))
+        np.savetxt(root / "poses" / f"{seq:02d}.txt", np.stack(poses))
+    for seq in (9, 10):
+        img_dir = root / "sequences" / f"{seq:02d}" / "image_2"
+        depth_dir = root / "RealDepth" / f"{seq:02d}" / "velodyne"
+        os.makedirs(img_dir)
+        os.makedirs(depth_dir)
+        for i in range(4):
+            imwrite(img_dir / f"{i:06d}.png",
+                    rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+            d = (rng.uniform(0, 40, (64, 96)) * 256).astype(np.uint16)
+            d[rng.random((64, 96)) < 0.5] = 0  # sparse
+            imwrite(depth_dir / f"{i:06d}.png", d)
+        with open(root / "sequences" / f"{seq:02d}" / "calib.txt",
+                  "w") as f:
+            f.write("P0: " + " ".join(["0"] * 12) + "\n")
+            f.write("P2: 70 0 48 0 0 70 32 0 0 0 1 0\n")
+
+    from KITTI_loader import KITTIVOLoaderGT
+
+    from deep_sfm_revisited_tpu.data.kitti import KittiVODataset
+
+    ref_ds = KITTIVOLoaderGT(str(root), train=False)
+    our_ds = KittiVODataset(str(root), train=False,
+                            skip=int(refcfg.SKIP))
+    assert len(ref_ds) == len(our_ds) == 8
+    for idx in range(len(ref_ds)):
+        r_inputs, r_K, r_poses, _, r_depths, p1, p2 = ref_ds[idx]
+        ours = our_ds[idx]
+        assert np.array_equal(ours["target"],
+                              r_inputs[0].astype(np.float32))
+        assert np.array_equal(ours["ref"], r_inputs[1].astype(np.float32))
+        assert np.allclose(ours["intrinsics"], r_K, atol=1e-6)
+        assert np.allclose(ours["pose_gt"], r_poses[1], atol=1e-6), idx
+        assert np.allclose(ours["depth_gt"], r_depths[1][..., 0],
+                           atol=1e-6)
+
+
 def test_flow_losses_match_reference():
     """Flow-training losses vs the reference's `loss_functions.py`:
     MultiScale_UP (L1, KITTI weights + valid ranges, full-res stack —
