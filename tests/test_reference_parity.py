@@ -264,6 +264,49 @@ def test_kitti_vo_loader_matches_reference(tmp_path):
                            atol=1e-6)
 
 
+def test_flow_file_io_matches_reference(tmp_path):
+    """Cross-read .flo and KITTI-16bit flow files between our flow_io and
+    the reference's frame_utils / load_flow_from_png."""
+    load_reference()
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/reference/models/RAFT/core/utils")
+    import frame_utils as ref_io
+
+    from deep_sfm_revisited_tpu.data import flow_io
+
+    rng = np.random.default_rng(5)
+    flow = rng.normal(size=(32, 44, 2)).astype(np.float32) * 20
+
+    # ours writes .flo -> reference reads (and vice versa)
+    p1 = str(tmp_path / "a.flo")
+    flow_io.write_flo(p1, flow)
+    assert np.allclose(ref_io.readFlow(p1), flow, atol=1e-6)
+    p2 = str(tmp_path / "b.flo")
+    ref_io.writeFlow(p2, flow)
+    assert np.allclose(flow_io.read_flo(p2), flow, atol=1e-6)
+
+    # KITTI 16-bit png cross-read (value-quantized to 1/64 px)
+    p3 = str(tmp_path / "c.png")
+    valid = rng.random((32, 44)) > 0.3
+    flow_io.write_flow_kitti(p3, flow, valid)
+    rf, rv = ref_io.readFlowKITTI(p3)
+    jf, jv = flow_io.read_flow_kitti(p3)
+    assert np.array_equal(np.asarray(rv, bool), np.asarray(jv, bool))
+    # ours zeroes invalid pixels; the reference returns them raw — compare
+    # where valid
+    assert np.allclose(rf[rv > 0], jf[jv > 0], atol=1e-6)
+    assert np.all(jf[jv == 0] == 0)
+    assert np.allclose(jf[jv > 0], flow[valid], atol=1 / 64 + 1e-6)
+
+    # KITTI_loader.load_flow_from_png: zeroes invalid px, 1e-10 floor
+    from KITTI_loader import load_flow_from_png
+
+    lf = load_flow_from_png(p3)
+    assert np.allclose(lf[valid], rf[rv > 0], atol=1e-6)
+    assert np.all(lf[~valid] == 0)
+
+
 def test_flow_losses_match_reference():
     """Flow-training losses vs the reference's `loss_functions.py`:
     MultiScale_UP (L1, KITTI weights + valid ranges, full-res stack —
