@@ -68,6 +68,17 @@ class DepthConfig:
     remat: bool = True                # jax.checkpoint the 3D cost stacks
                                       # (trade FLOPs for HBM at b=32; no-op
                                       # at inference — no backward pass)
+    dpack: int = 1                    # D-packed hourglass: fold G planes
+                                      # into channels so Cout=32 convs fill
+                                      # all 128 MXU lanes ((G+2)/3 = 2x
+                                      # FLOPs for 4x lane use). Measured
+                                      # on v5e: 59 vs 53 ms — the packed
+                                      # conv only reaches ~45% of peak
+                                      # (scratch/conv_micro.py), so OFF by
+                                      # default; auto-off unless G | nlabel
+    dpack_mode: str = "tridiag"       # tridiag: dense in-block core + two
+                                      # small cross-block convs (G/3 = 1.33x
+                                      # FLOPs); halo: one (G+2)/3 = 2x conv
     # pose-scale sampling (PANet; ref lib/config.py:184-188)
     scale_min: float = 0.9
     scale_max: float = 1.1

@@ -40,31 +40,49 @@ from deep_sfm_revisited_tpu.models.submodules import (
     Conv3DMXU,
     ConvBN3D,
     SPPFeatureExtractor,
+    dunpack,
     resize_bilinear,
     soft_argmax_depth,
     soft_argmax_disparity,
 )
-from deep_sfm_revisited_tpu.ops.camera import plane_sweep_warp
+from deep_sfm_revisited_tpu.ops.camera import (
+    bilinear_sample,
+    plane_sweep_coords,
+    plane_sweep_warp,
+)
 
 Dtype = Any
 
 
 class Hourglass3D(nn.Module):
-    """dres0..dres4 residual 3D stack + classify head (PSNet.py:79-102)."""
+    """dres0..dres4 residual 3D stack + classify head (PSNet.py:79-102).
+
+    With `dpack=G>1` the input is the D-packed cost volume
+    (B, D/G, H, W, G*Cin) and the whole stack stays packed — every conv
+    fills the MXU's 128 output lanes (see `submodules.dpack_weight`);
+    the parameter tree is identical to the unpacked form. Output is
+    always unpacked (B, D, H, W, 1).
+    """
 
     dtype: Dtype = jnp.float32
+    dpack: int = 1
+    dpack_mode: str = "tridiag"
 
     @nn.compact
     def __call__(self, cost, train: bool = False):
         d = self.dtype
-        c0 = nn.relu(ConvBN3D(32, dtype=d)(cost, train))
-        c0 = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
+        G = self.dpack
+        m = self.dpack_mode
+        c0 = nn.relu(ConvBN3D(32, dtype=d, dpack=G, dpack_mode=m)(cost, train))
+        c0 = nn.relu(ConvBN3D(32, dtype=d, dpack=G, dpack_mode=m)(c0, train))
         for _ in range(4):  # dres1..dres4, each a 2-conv residual block
-            r = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
-            r = ConvBN3D(32, dtype=d)(r, train)
+            r = nn.relu(ConvBN3D(32, dtype=d, dpack=G, dpack_mode=m)(c0, train))
+            r = ConvBN3D(32, dtype=d, dpack=G, dpack_mode=m)(r, train)
             c0 = c0 + r
-        out = nn.relu(ConvBN3D(32, dtype=d)(c0, train))
-        out = Conv3DMXU(1, (3, 3, 3), dtype=d)(out)
+        out = nn.relu(ConvBN3D(32, dtype=d, dpack=G, dpack_mode=m)(c0, train))
+        out = Conv3DMXU(1, (3, 3, 3), dtype=d, dpack=G, dpack_mode=m)(out)
+        if G > 1:
+            out = dunpack(out, G)
         return out  # (B, D, H, W, 1)
 
 
@@ -195,7 +213,9 @@ class PSNet(nn.Module):
         # explicit name: nn.remat wraps the class as "CheckpointX", which
         # would silently change the param tree (and break checkpoint /
         # torch-port compatibility) whenever remat is toggled
-        hourglass = HG(dtype=d, name="Hourglass3D_0")
+        G = cfg.dpack if cfg.dpack > 1 and nlabel % cfg.dpack == 0 else 1
+        hourglass = HG(dtype=d, dpack=G, dpack_mode=cfg.dpack_mode,
+                       name="Hourglass3D_0")
         costs = None
         for j in range(T):
             tgt_feat = (tgt_feats[j] if tgt_feats is not None
@@ -203,14 +223,34 @@ class PSNet(nn.Module):
             # warp in the compute dtype (bf16 under mixed precision): the
             # cost volume is cast to it right after anyway, and halving
             # the gather source bytes is measurably faster
-            warped = plane_sweep_warp(
-                tgt_feat.astype(d), plane_depths, pose[:, j], K4, K4_inv,
-            )  # (B, D, H/4, W/4, 32)
-            refb = jnp.broadcast_to(
-                ref_feat[:, None].astype(d), warped.shape
-            )
-            cost = jnp.concatenate([refb, warped], axis=-1)
+            if G > 1:
+                # build the cost volume DIRECTLY in the D-packed layout
+                # the hourglass consumes: transpose the (small) sampling
+                # coordinates instead of relaying out the (huge) volume
+                coords = plane_sweep_coords(
+                    plane_depths, pose[:, j], K4, K4_inv, h4, w4
+                )  # (B, D, H/4, W/4, 2)
+                coords = jnp.moveaxis(
+                    coords.reshape(B, nlabel // G, G, h4, w4, 2), 2, 4
+                )  # (B, D/G, H/4, W/4, G, 2)
+                warped = bilinear_sample(tgt_feat.astype(d), coords)
+                refb = jnp.broadcast_to(
+                    ref_feat[:, None, :, :, None, :].astype(d), warped.shape
+                )
+                # slot-major packed channels: per plane [ref 32 | warped 32]
+                cost = jnp.concatenate([refb, warped], axis=-1)
+                cost = cost.reshape(B, nlabel // G, h4, w4, -1)
+            else:
+                warped = plane_sweep_warp(
+                    tgt_feat.astype(d), plane_depths, pose[:, j], K4, K4_inv,
+                )  # (B, D, H/4, W/4, 32)
+                refb = jnp.broadcast_to(
+                    ref_feat[:, None].astype(d), warped.shape
+                )
+                cost = jnp.concatenate([refb, warped], axis=-1)
             if self.cost_sharding is not None:
+                # packed or not, the sweep axis (D or D/G) is dim 1, so the
+                # same (data, model, ...) spec shards it either way
                 cost = jax.lax.with_sharding_constraint(cost, self.cost_sharding)
             c = hourglass(cost, train)  # (B, D, H/4, W/4, 1)
             costs = c if costs is None else costs + c

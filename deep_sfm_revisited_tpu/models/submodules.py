@@ -47,6 +47,73 @@ class ConvBN(nn.Module):
         )(x)
 
 
+def dpack_weight(k: jnp.ndarray, G: int) -> jnp.ndarray:
+    """Expand a 3D conv kernel for the D-packed layout.
+
+    k (kd=3, kh, kw, Cin, Cout) -> (kh, kw, (G+2)*Cin, G*Cout), block-banded:
+    output slot g reads packed-input slots g..g+2 (slot j holds depth
+    d = block*G + j - 1, so slots 0 and G+1 are the one-plane halo).
+    Zero blocks make the GEMM dense — that is the point: Cout=32 uses only
+    32 of the MXU's 128 output lanes (a measured 4x penalty), while G=4
+    packed output channels fill all 128 lanes at (G+2)/3 = 2x the FLOPs,
+    a ~2x net win on the plane-sweep hourglass.
+    """
+    kd, kh, kw, Ci, Co = k.shape
+    Wp = jnp.zeros((kh, kw, (G + 2) * Ci, G * Co), k.dtype)
+    for g in range(G):
+        for t in range(kd):
+            j = g + t
+            Wp = Wp.at[:, :, j * Ci:(j + 1) * Ci, g * Co:(g + 1) * Co].set(k[t])
+    return Wp
+
+
+def dpack_weight_tridiag(k: jnp.ndarray, G: int) -> jnp.ndarray:
+    """Tri-diagonal packed kernel (no halo): (kh, kw, G*Cin, G*Cout).
+
+    Output slot g reads in-block slots g-1, g, g+1 (block-tridiagonal,
+    G/3-x denser than minimal instead of the halo form's (G+2)/3); the
+    cross-block terms (slot 0's k[0] tap, slot G-1's k[2] tap) are applied
+    by two small separate convolutions in `Conv3DMXU._call_packed`.
+    """
+    kd, kh, kw, Ci, Co = k.shape
+    Wp = jnp.zeros((kh, kw, G * Ci, G * Co), k.dtype)
+    for g in range(G):
+        for t in range(kd):
+            j = g + t - 1
+            if 0 <= j < G:
+                Wp = Wp.at[:, :, j * Ci:(j + 1) * Ci,
+                           g * Co:(g + 1) * Co].set(k[t])
+    return Wp
+
+
+def dpack(x: jnp.ndarray, G: int) -> jnp.ndarray:
+    """(B, D, H, W, C) -> packed (B, D//G, H, W, G*C), slot-major channels."""
+    B, D, H, W, C = x.shape
+    x = x.reshape(B, D // G, G, H, W, C)
+    return jnp.moveaxis(x, 2, 4).reshape(B, D // G, H, W, G * C)
+
+
+def dunpack(x: jnp.ndarray, G: int) -> jnp.ndarray:
+    """Packed (B, nb, H, W, G*C) -> (B, nb*G, H, W, C)."""
+    B, nb, H, W, GC = x.shape
+    x = x.reshape(B, nb, H, W, G, GC // G)
+    return jnp.moveaxis(x, 4, 2).reshape(B, nb * G, H, W, GC // G)
+
+
+def _dpack_halo(x: jnp.ndarray, G: int, Ci: int) -> jnp.ndarray:
+    """Add the one-plane halo to a packed volume.
+
+    x (B, nb, H, W, G*Ci) -> (B, nb, H, W, (G+2)*Ci): prepend the previous
+    block's last slot and append the next block's first slot (zeros at the
+    sweep ends = SAME D-padding).
+    """
+    left = jnp.pad(x[:, :-1, ..., (G - 1) * Ci:],
+                   ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    right = jnp.pad(x[:, 1:, ..., :Ci],
+                    ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    return jnp.concatenate([left, x, right], axis=-1)
+
+
 class Conv3DMXU(nn.Module):
     """3D convolution computed as depth-folded 2D convolutions. NDHWC.
 
@@ -62,6 +129,16 @@ class Conv3DMXU(nn.Module):
     shapes used by the PSNet/DPSNet-family hourglasses and per-plane 2D
     context stacks (ref `models/submodule.py:18`, `models/PSNet.py:64-102`).
     H/W stride and dilation are supported.
+
+    `dpack=G>1` switches the call to the D-packed layout: input and output
+    are (B, D/G, H, W, G*C) with slot-major channels (see `dpack_weight`).
+    The parameter tree is IDENTICAL to the unpacked form (the packed
+    weight is expanded from the same (kd, kh, kw, Cin, Cout) kernel each
+    call), so checkpoints and the torch port are unaffected; kd=3 requires
+    packed inputs, kd=1 applies per-plane and accepts packed input as a
+    plain channel-grouped 2D conv only when groups are supported — so
+    dpack with kd=1 is rejected (use the unpacked path; kd=1 convs have
+    Cout>=32 context heads that already fill the lanes).
     """
 
     features: int
@@ -70,6 +147,8 @@ class Conv3DMXU(nn.Module):
     dilation: Tuple[int, int] = (1, 1)  # (H, W) dilation
     use_bias: bool = False
     dtype: Dtype = jnp.float32
+    dpack: int = 1  # >1: D-packed layout with G = dpack planes per block
+    dpack_mode: str = "tridiag"  # tridiag | halo (see dpack_weight[_tridiag])
 
     @nn.compact
     def __call__(self, x):
@@ -79,6 +158,10 @@ class Conv3DMXU(nn.Module):
                 f"Conv3DMXU supports kd in {{1,3}}, unit D-stride; got "
                 f"kernel={self.kernel} strides={self.strides}"
             )
+        if self.dpack > 1:
+            if kd != 3:
+                raise NotImplementedError("dpack requires kd == 3")
+            return self._call_packed(x)
         B, D, H, W, Cin = x.shape
         k = self.param(
             "kernel",
@@ -116,6 +199,62 @@ class Conv3DMXU(nn.Module):
             ).astype(self.dtype)
         return y
 
+    def _call_packed(self, x):
+        kd, kh, kw = self.kernel
+        G = self.dpack
+        B, nb, H, W, GCi = x.shape
+        Cin = GCi // G
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kd, kh, kw, Cin, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        dh, dw = self.dilation
+        pads = [(dh * (kh // 2),) * 2, (dw * (kw // 2),) * 2]
+
+        def conv2d(inp, w):
+            return jax.lax.conv_general_dilated(
+                inp, w, self.strides[1:], pads,
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if self.dpack_mode == "halo":
+            xh = _dpack_halo(x, G, Cin)
+            y = conv2d(xh.reshape(B * nb, H, W, (G + 2) * Cin),
+                       dpack_weight(k, G))
+            Ho, Wo = y.shape[1:3]
+            y = y.reshape(B, nb, Ho, Wo, G * self.features)
+        else:  # tridiag: dense core + two small cross-block convs
+            Co = self.features
+            y = conv2d(x.reshape(B * nb, H, W, G * Cin),
+                       dpack_weight_tridiag(k, G))
+            Ho, Wo = y.shape[1:3]
+            y = y.reshape(B, nb, Ho, Wo, G * Co)
+            if nb > 1:  # single block needs no cross-block taps (zero D-pad)
+                # out slot 0 of block b += k[0] (*) last slot of block b-1
+                left_in = x[:, :-1, ..., (G - 1) * Cin:].reshape(
+                    B * (nb - 1), H, W, Cin)
+                left = conv2d(left_in, k[0]).reshape(B, nb - 1, Ho, Wo, Co)
+                # out slot G-1 of block b += k[2] (*) first slot of block b+1
+                right_in = x[:, 1:, ..., :Cin].reshape(B * (nb - 1), H, W, Cin)
+                right = conv2d(right_in, k[2]).reshape(B, nb - 1, Ho, Wo, Co)
+                zpad = ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+                y = y + jnp.pad(
+                    jnp.pad(left, zpad),
+                    ((0, 0),) * 4 + ((0, (G - 1) * Co),))
+                y = y + jnp.pad(
+                    jnp.pad(right, (zpad[0], (0, 1)) + zpad[2:]),
+                    ((0, 0),) * 4 + (((G - 1) * Co, 0),))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ).astype(self.dtype)
+            y = y + jnp.tile(bias, G)
+        return y
+
 
 class ConvBN3D(nn.Module):
     """Conv3D + BatchNorm (ref `convbn_3d`, submodule.py:18). NDHWC."""
@@ -124,9 +263,26 @@ class ConvBN3D(nn.Module):
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
     dtype: Dtype = jnp.float32
+    dpack: int = 1
+    dpack_mode: str = "tridiag"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dpack > 1:
+            # packed layout (B, nb, H, W, G*C): normalize per LOGICAL
+            # channel by splitting the slot axis off before BatchNorm —
+            # flax reduces over every non-feature axis, so the statistics
+            # (and the parameter tree) are exactly the unpacked ones
+            x = Conv3DMXU(
+                self.features, self.kernel, self.stride, dtype=self.dtype,
+                dpack=self.dpack, dpack_mode=self.dpack_mode,
+            )(x)
+            B, nb, H, W, GC = x.shape
+            x = x.reshape(B, nb, H, W, self.dpack, self.features)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype
+            )(x)
+            return x.reshape(B, nb, H, W, GC)
         if self.kernel[0] in (1, 3) and self.stride[0] == 1:
             x = Conv3DMXU(
                 self.features, self.kernel, self.stride, dtype=self.dtype

@@ -52,6 +52,44 @@ def test_psnet_forward():
     assert float(d_init.max()) <= cfg.min_depth * cfg.nlabel + 1e-3
 
 
+def test_psnet_dpack_equivalence():
+    """D-packed hourglass (dpack=4, the flagship lowering) must match the
+    unpacked depth-folded form with the SAME parameter tree, eval and
+    train (float-reassociation tolerance only)."""
+    base = DepthConfig(nlabel=8, min_depth=1.0)
+    b, h, w = 1, 32, 48
+    ref = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3), F32, -1, 1)
+    tgt = jnp.roll(ref, 2, axis=2)[:, None]
+    pose = jnp.concatenate(
+        [jnp.eye(3, dtype=F32), jnp.array([[0.5], [0.0], [0.1]], F32)], 1
+    )[None, None]
+    K = small_K(b, h, w)
+    K_inv = jnp.linalg.inv(K)
+
+    m1 = PSNet(dataclasses.replace(base, dpack=1))
+    m4 = PSNet(dataclasses.replace(base, dpack=4))
+    params = m1.init(jax.random.PRNGKey(2), ref, tgt, pose, K, K_inv)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        m4.init(jax.random.PRNGKey(2), ref, tgt, pose, K, K_inv)
+    )
+
+    for out1, out4 in zip(
+        m1.apply(params, ref, tgt, pose, K, K_inv),
+        m4.apply(params, ref, tgt, pose, K, K_inv),
+    ):
+        np.testing.assert_allclose(out1, out4, rtol=2e-5, atol=2e-5)
+
+    (o1, _), bn1 = m1.apply(params, ref, tgt, pose, K, K_inv, True,
+                            mutable=["batch_stats"])
+    (o4, _), bn4 = m4.apply(params, ref, tgt, pose, K, K_inv, True,
+                            mutable=["batch_stats"])
+    np.testing.assert_allclose(o1, o4, rtol=2e-5, atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-5),
+        bn1, bn4,
+    )
+
+
 def test_raft_forward():
     cfg = FlowConfig(raft_iters_train=2, raft_iters_eval=3)
     m = RAFT(cfg)
