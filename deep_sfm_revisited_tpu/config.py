@@ -108,6 +108,15 @@ class PoseConfig:
     polish_iters: int = 10             # IRLS robust polish rounds (polish_E.cu:1470)
     polish_huber_delta: float = 1e-3   # ref SFMnet delta=0.001 (models/SFMnet.py:36)
     use_polish: bool = True
+    solve_dtype: str = "float32"       # five-point candidate pipeline dtype:
+                                       # candidates only need to WIN the
+                                       # Sampson vote — the f64 polish
+                                       # restores precision; f32==f64 final
+                                       # accuracy on synthetic scenes at
+                                       # every noise/outlier level
+                                       # (scratch/f32_solve_study.py), and
+                                       # emulated f64 is ~10x per op on TPU.
+                                       # "float64" = full-precision solve.
     # differentiable pose: refine E with implicit-function gradients so
     # pose error can train the flow net end-to-end (the reference defines
     # this machinery but never wires it, epipolar_utils.py:158-357)

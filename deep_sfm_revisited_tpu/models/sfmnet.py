@@ -212,6 +212,7 @@ class SFMNet(nn.Module):
             huber_delta=cfg.polish_huber_delta,
             hyp_sharding=self.hyp_sharding,
             point_sharding=self.point_sharding,
+            solve_dtype=jnp.dtype(cfg.solve_dtype),
         )
         if cfg.differentiable:
             w = jax.lax.stop_gradient(

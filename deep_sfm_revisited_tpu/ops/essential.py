@@ -597,6 +597,7 @@ def ransac_pose(
     huber_delta: float = 1e-3,
     hyp_sharding=None,
     point_sharding=None,
+    solve_dtype=None,
 ):
     """Batched five-point RANSAC.
 
@@ -642,7 +643,19 @@ def ransac_pose(
         x1 = jax.lax.with_sharding_constraint(x1, point_sharding)
         x2 = jax.lax.with_sharding_constraint(x2, point_sharding)
 
-    E, valid = five_point_candidates(s1, s2)  # (B, H, 10, 3, 3), (B, H, 10)
+    if solve_dtype is not None and solve_dtype != dtype:
+        # run the whole candidate pipeline (nullspace, constraint matrix,
+        # Gauss-Jordan, determinant polynomial, roots, back-substitution)
+        # in a cheaper dtype; emulated f64 is ~10x per op on TPU and a
+        # candidate only needs enough precision to WIN the Sampson vote —
+        # the f64 IRLS polish below restores full accuracy (validated on
+        # synthetic scenes, scratch/f32_solve_study.py)
+        E, valid = five_point_candidates(
+            s1.astype(solve_dtype), s2.astype(solve_dtype)
+        )
+        E = E.astype(dtype)
+    else:
+        E, valid = five_point_candidates(s1, s2)  # (B,H,10,3,3), (B,H,10)
     C = H * 10
     Ef = E.reshape(B, C, 3, 3)
     validf = valid.reshape(B, C)
