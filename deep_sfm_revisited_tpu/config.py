@@ -72,10 +72,12 @@ class DepthConfig:
                                       # into channels so Cout=32 convs fill
                                       # all 128 MXU lanes ((G+2)/3 = 2x
                                       # FLOPs for 4x lane use). Measured
-                                      # on v5e: 59 vs 53 ms — the packed
-                                      # conv only reaches ~45% of peak
-                                      # (scratch/conv_micro.py), so OFF by
-                                      # default; auto-off unless G | nlabel
+                                      # on v5e (vs 53 ms unpacked): halo
+                                      # 60 ms, tridiag 52 ms (noise) — the
+                                      # packed conv only reaches ~42-45% of
+                                      # peak (scratch/conv_micro.py), so
+                                      # OFF by default; auto-off unless
+                                      # G | nlabel
     dpack_mode: str = "tridiag"       # tridiag: dense in-block core + two
                                       # small cross-block convs (G/3 = 1.33x
                                       # FLOPs); halo: one (G+2)/3 = 2x conv

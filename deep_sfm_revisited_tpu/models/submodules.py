@@ -161,6 +161,8 @@ class Conv3DMXU(nn.Module):
         if self.dpack > 1:
             if kd != 3:
                 raise NotImplementedError("dpack requires kd == 3")
+            if self.dpack_mode not in ("halo", "tridiag"):
+                raise ValueError(f"unknown dpack_mode {self.dpack_mode!r}")
             return self._call_packed(x)
         B, D, H, W, Cin = x.shape
         k = self.param(

@@ -4,7 +4,8 @@ b=2, nlabel=64, DICL frozen (fix_flownet), RANSAC pose online, depth
 loss. (The b=4 / nlabel=128 recipe variant exceeded the remote compile
 helper's limits — see PERF.md.)
 """
-import time
+import sys, time
+sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
@@ -13,7 +14,8 @@ import __graft_entry__ as g
 from deep_sfm_revisited_tpu.config import SfMConfig
 from deep_sfm_revisited_tpu.train.trainer import create_train_state, make_train_step
 
-B, H, W = 1, 256, 768
+import sys
+B, H, W = int(sys.argv[1]) if len(sys.argv) > 1 else 1, 256, 768
 cfg = SfMConfig.kitti(nlabel=128).override(**{
     "train.fix_flownet": True,
     "pose.num_hypotheses": 512,

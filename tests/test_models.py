@@ -52,11 +52,12 @@ def test_psnet_forward():
     assert float(d_init.max()) <= cfg.min_depth * cfg.nlabel + 1e-3
 
 
-def test_psnet_dpack_equivalence():
-    """D-packed hourglass (dpack=4, the flagship lowering) must match the
+@pytest.mark.parametrize("mode", ["tridiag", "halo"])
+def test_psnet_dpack_equivalence(mode):
+    """D-packed hourglass (dpack=4, both lowerings) must match the
     unpacked depth-folded form with the SAME parameter tree, eval and
     train (float-reassociation tolerance only)."""
-    base = DepthConfig(nlabel=8, min_depth=1.0)
+    base = DepthConfig(nlabel=8, min_depth=1.0, dpack_mode=mode)
     b, h, w = 1, 32, 48
     ref = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3), F32, -1, 1)
     tgt = jnp.roll(ref, 2, axis=2)[:, None]
