@@ -32,7 +32,7 @@ BASELINE_FPS = 1.0
 # eval-protocol shapes: KITTI 370x1224 padded to /128 (main.py:315-338)
 B, H, W = 1, 384, 1280
 WARMUP = 2
-ITERS = 8
+ITERS = 16  # distinct pairs per program; the one ~25 ms read amortizes
 
 
 def main():
@@ -68,30 +68,39 @@ def main():
                                    key=jax.random.PRNGKey(2))
     )(ref_s, tgt_s, K)
 
+    # throughput protocol: run ITERS DISTINCT frame pairs inside ONE
+    # program (lax.scan over stacked inputs), then one scalar read.
+    # Rationale (measured, scratch/pose_only_bench.py):
+    #   * on the remote axon platform every program DISPATCH costs ~27 ms
+    #     of HTTP round-trip — per-call timing measures the tunnel, not
+    #     the chip (a local runtime dispatches in microseconds);
+    #   * block_until_ready can return before execution finishes here, so
+    #     the sync is a device->host scalar read (a true data dependency);
+    #   * the pairs MUST be distinct: with loop-invariant images XLA
+    #     hoists the whole flow network out of the scan and the number is
+    #     fake (verified: 15 ms/pair hoisted vs 31 ms/pair distinct on
+    #     the pose-only path).
+    keys = jax.random.split(jax.random.PRNGKey(3), ITERS)
+    refs = jax.random.uniform(
+        jax.random.PRNGKey(4), (ITERS, B, H, W, 3), jnp.float32, -1, 1
+    )
+    tgts = jnp.roll(refs, 3, axis=3)
+
     @jax.jit
-    def forward(variables, ref, target, K):
-        out = model.apply(variables, ref, target, K,
-                          key=jax.random.PRNGKey(3))
-        return out["depth"], out["pose"]
+    def forward_all(variables, refs, tgts, K, keys):
+        def body(carry, inp):
+            r, t, kk = inp
+            out = model.apply(variables, r, t, K, key=kk)
+            return carry + jnp.sum(out["depth"]), None
 
-    # synchronize via a host transfer of a reduction: on the remote-device
-    # axon platform block_until_ready can return before execution finishes,
-    # which fakes millisecond timings; a scalar device->host read cannot.
+        tot, _ = jax.lax.scan(body, 0.0, (refs, tgts, keys))
+        return tot
+
     for _ in range(WARMUP):
-        d, p = forward(variables, ref, target, K)
-        float(jnp.sum(d))
+        float(forward_all(variables, refs, tgts, K, keys))
 
-    # throughput protocol: dispatch all iterations (device executes them
-    # in order), then read every output. The reads are a true data
-    # dependency — the first read gates on all prior executions — but
-    # they overlap compute instead of inserting a ~25 ms host round-trip
-    # between every pair, exactly as a real eval pipeline overlaps
-    # readback with the next forward.
     t0 = time.perf_counter()
-    sums = [jnp.sum(forward(variables, ref, target, K)[0])
-            for _ in range(ITERS)]
-    for s in sums:
-        float(s)
+    float(forward_all(variables, refs, tgts, K, keys))
     dt = time.perf_counter() - t0
 
     fps = B * ITERS / dt

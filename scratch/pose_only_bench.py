@@ -62,3 +62,48 @@ for o in outs:
 dt = (time.perf_counter() - t0) / ITERS
 print(f"pose-only (DICL + 512x5 RANSAC, f32 solve): {dt*1000:.1f} ms/pair "
       f"= {1/dt:.1f} pairs/s", flush=True)
+
+
+# --- tunnel-overhead control: 10 pairs inside ONE program (lax.scan) ----
+def fwd_scan(v, r, t, k, keys):
+    def body(c, kk):
+        out = SFMNet(cfg, dtype=jnp.bfloat16).apply(v, r, t, k, key=kk)
+        return c + jnp.sum(out["pose"].astype(jnp.float32)), None
+    tot, _ = jax.lax.scan(body, 0.0, keys)
+    return tot
+
+
+fs = jax.jit(fwd_scan)
+kk = jax.random.split(jax.random.PRNGKey(9), ITERS)
+float(fs(variables, ref, target, K, kk))
+t0 = time.perf_counter()
+float(fs(variables, ref, target, K, kk))
+dt = (time.perf_counter() - t0) / ITERS
+print(f"pose-only, {ITERS} pairs in ONE program (scan): {dt*1000:.1f} "
+      f"ms/pair = {1/dt:.1f} pairs/s", flush=True)
+
+
+# --- hoisting control: DISTINCT image pairs per scan iteration ----------
+# (with identical inputs XLA can hoist the loop-invariant flow net out of
+# the scan, faking the per-pair cost)
+refs = jax.random.uniform(jax.random.PRNGKey(11), (ITERS, B, H, W, 3),
+                          jnp.float32, -1, 1)
+tgts = jnp.roll(refs, 3, axis=3)
+
+
+def fwd_scan2(v, rs, ts, k, keys):
+    def body(c, inp):
+        r, t, kk = inp
+        out = SFMNet(cfg, dtype=jnp.bfloat16).apply(v, r, t, k, key=kk)
+        return c + jnp.sum(out["pose"].astype(jnp.float32)), None
+    tot, _ = jax.lax.scan(body, 0.0, (rs, ts, keys))
+    return tot
+
+
+fs2 = jax.jit(fwd_scan2)
+float(fs2(variables, refs, tgts, K, kk))
+t0 = time.perf_counter()
+float(fs2(variables, refs, tgts, K, kk))
+dt = (time.perf_counter() - t0) / ITERS
+print(f"pose-only, {ITERS} DISTINCT pairs in ONE program: {dt*1000:.1f} "
+      f"ms/pair = {1/dt:.1f} pairs/s", flush=True)
