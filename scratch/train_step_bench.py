@@ -22,6 +22,7 @@ cfg = SfMConfig.kitti(nlabel=128).override(**{
     "pose.ransac_iter": 5,
     "pose.num_correspondences": 1024,
     "pose.polish_iters": 5,
+    "depth.remat": "--no-remat" not in sys.argv,
 })
 model, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   sample_shape=(B, H, W), steps_per_epoch=100)
@@ -39,5 +40,5 @@ for i in range(N):
     s, m = step(s, batch, jax.random.PRNGKey(3 + i))
     float(m["loss"])
 dt = (time.perf_counter() - t0) / N
-print("train step b=%d %dx%d nlabel=128: %.0f ms  (%.2f pairs/s/chip)"
-      % (B, H, W, dt * 1000, B / dt))
+print("train step b=%d %dx%d nlabel=128 remat=%s: %.0f ms  (%.2f pairs/s/chip)"
+      % (B, H, W, cfg.depth.remat, dt * 1000, B / dt))
