@@ -61,6 +61,49 @@ class StageTimes:
         )
 
 
+def throughput(fn, inputs, *, reps: int = 3, warmup: int = 2) -> float:
+    """Honest per-item wall time of `fn` over a batch of DISTINCT inputs.
+
+    Runs all items of `inputs` (a pytree whose leaves have a leading
+    item axis) through `fn` inside ONE jitted program via `lax.scan`,
+    synchronizes with a single device->host scalar read, and returns
+    seconds per item (best practice distilled from bench.py):
+
+      * one program per measurement — on remote-device platforms every
+        program dispatch costs a host round-trip (~27 ms on the axon
+        tunnel) and `block_until_ready` can return early, so per-call
+        timing measures the channel, not the chip;
+      * the inputs MUST be distinct per item — with loop-invariant
+        inputs XLA hoists the invariant subgraph out of the scan and
+        the number is fake (measured: 15 vs 31 ms/pair on the
+        flow+RANSAC pose path);
+      * the scalar read is a true data dependency on every iteration.
+    """
+    import jax.numpy as jnp
+
+    n = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+
+    @jax.jit
+    def run(inputs):
+        def body(acc, item):
+            out = fn(item)
+            s = sum(
+                jnp.sum(jnp.abs(o.astype(jnp.float32)))
+                for o in jax.tree_util.tree_leaves(out)
+            )
+            return acc + s, None
+
+        tot, _ = jax.lax.scan(body, 0.0, inputs)
+        return tot
+
+    for _ in range(warmup):
+        float(run(inputs))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(run(inputs))
+    return (time.perf_counter() - t0) / (reps * n)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Device trace to `log_dir` (open with TensorBoard's profile tab)."""
