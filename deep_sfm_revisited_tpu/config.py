@@ -205,7 +205,12 @@ class SfMConfig:
             # the reference recipe runs DICL flow (FLOW_EST default,
             # lib/config.py:178 — the released kitti.pth.tar weights)
             flow=replace(FlowConfig(), estimator="DICL"),
-            depth=replace(DepthConfig(), nlabel=nlabel, psnet_dep_context=True),
+            # remat=False: at the recipe's per-chip b=1 shard the hourglass
+            # activations fit HBM with slack and recomputation costs 16%
+            # (239 -> 206 ms/step measured); the generic DepthConfig
+            # default stays True for larger per-chip batches
+            depth=replace(DepthConfig(), nlabel=nlabel,
+                          psnet_dep_context=True, remat=False),
             train=replace(TrainConfig(), mixed_prec=True, rescale_depth=True),
         )
 

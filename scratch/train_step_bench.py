@@ -42,3 +42,24 @@ for i in range(N):
 dt = (time.perf_counter() - t0) / N
 print("train step b=%d %dx%d nlabel=128 remat=%s: %.0f ms  (%.2f pairs/s/chip)"
       % (B, H, W, cfg.depth.remat, dt * 1000, B / dt))
+
+
+# scan-protocol variant: chain N steps inside ONE program (state is the
+# scan carry), one scalar read — removes the per-step dispatch/read
+# channel cost from the measurement (PERF.md "Tunnel dispatch overhead")
+def steps_scanned(state, batch, keys):
+    def body(st, kk):
+        st2, mm = step(st, batch, kk)
+        return st2, mm["loss"]
+    st, losses = jax.lax.scan(body, state, keys)
+    return jnp.sum(losses)
+
+
+scanned = jax.jit(steps_scanned)
+keys = jax.random.split(jax.random.PRNGKey(7), N)
+float(scanned(s, batch, keys))
+t0 = time.perf_counter()
+float(scanned(s, batch, keys))
+dt = (time.perf_counter() - t0) / N
+print("train step (scan of %d) b=%d nlabel=128 remat=%s: %.0f ms  "
+      "(%.2f pairs/s/chip)" % (N, B, cfg.depth.remat, dt * 1000, B / dt))
