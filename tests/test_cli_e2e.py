@@ -66,3 +66,23 @@ def test_cli_train_validate_restore(mini_vo_root, tmp_path):
         "--pretrained", ckpt, "--out", out, "--workers", "2", *TINY,
     ])
     assert np.isfinite(res["abs_rel"])
+
+
+def test_shipped_kitti_yaml_parses():
+    """The shipped cfgs/kitti.yaml must load onto SfMConfig and carry the
+    reference recipe's key knobs (cfgs/kitti.yml of the reference)."""
+    import os
+
+    from deep_sfm_revisited_tpu.config import config_from_yaml
+
+    path = os.path.join(os.path.dirname(__file__), "..", "cfgs", "kitti.yaml")
+    cfg = config_from_yaml(path)
+    assert cfg.tag == "kitti"
+    assert cfg.depth.nlabel == 128
+    assert cfg.depth.psnet_dep_context is True
+    assert cfg.depth.remat is False          # b=1 per-chip shard fits HBM
+    assert cfg.train.mixed_prec is True      # MIXED_PREC
+    assert cfg.train.rescale_depth is True   # RESCALE_DEPTH
+    assert cfg.train.norm_target == 0.6      # NORM_TARGET
+    assert cfg.pose.ransac_iter == 5         # ransac_iter
+    assert cfg.data.train_size == (256, 768)  # TRAIN_SIZE
