@@ -521,6 +521,7 @@ def polish_essential(
     iters: int = 10,
     huber_delta: float = 1e-3,
     damping: float = 1e-8,
+    coarse_dtype=None,
 ) -> jnp.ndarray:
     """Robust local refinement of a single E on its 5-dof manifold.
 
@@ -530,7 +531,24 @@ def polish_essential(
     `polish_E_robust_parametric` (`polish_E.cu:953,1470`) — jacfwd supplies
     the Jacobian the CUDA version derives by hand. vmap over a batch axis
     for multiple matrices.
+
+    `coarse_dtype` (e.g. f32 on TPU, where f64 is emulated at ~10x):
+    run iters-1 Gauss-Newton steps in the coarse dtype, then ONE final
+    step in the input dtype — GN converges quadratically, so a final
+    full-precision step from an f32-accurate iterate recovers full
+    accuracy (validated on synthetic scenes, scratch/f32_solve_study.py).
     """
+    if coarse_dtype is not None and coarse_dtype != E0.dtype and iters > 1:
+        Ec = polish_essential(
+            E0.astype(coarse_dtype), x1.astype(coarse_dtype),
+            x2.astype(coarse_dtype),
+            None if weights is None else weights.astype(coarse_dtype),
+            iters=iters - 1, huber_delta=huber_delta, damping=damping,
+        )
+        return polish_essential(
+            Ec.astype(E0.dtype), x1, x2, weights, iters=1,
+            huber_delta=huber_delta, damping=damping,
+        )
     dtype = E0.dtype
     ones = jnp.ones_like(x1[..., :1])
     q1 = jnp.concatenate([x1, ones], axis=-1)
@@ -697,7 +715,8 @@ def ransac_pose(
         w = jnp.where(enough, w, jnp.ones_like(w))
         E_pol = jax.vmap(
             lambda e, a, b, ww: polish_essential(
-                e, a, b, weights=ww, iters=polish_iters, huber_delta=huber_delta
+                e, a, b, weights=ww, iters=polish_iters,
+                huber_delta=huber_delta, coarse_dtype=solve_dtype,
             )
         )(E_best, x1, x2, w)
         # LO acceptance on the truncated-Sampson cost (inlier *count* is too
