@@ -721,15 +721,22 @@ def ransac_pose(
         )(E_best, x1, x2, w)
         # LO acceptance on the truncated-Sampson cost (inlier *count* is too
         # coarse: a refinement that trades one borderline inlier for much
-        # lower residuals everywhere must not be rejected)
-        thr = jnp.asarray(threshold, dtype)
-        cost0 = jnp.sum(jnp.minimum(sampson_error(E_best, x1, x2), thr), -1)
-        cost1 = jnp.sum(jnp.minimum(sampson_error(E_pol, x1, x2), thr), -1)
+        # lower residuals everywhere must not be rejected). Scoring-class
+        # work runs in f32 like the candidate scoring above — Sampson
+        # distances and the threshold sit far inside f32 precision, and
+        # emulated f64 is ~10x per op.
+        thr32 = jnp.asarray(threshold, jnp.float32)
+        x1s, x2s = x1.astype(jnp.float32), x2.astype(jnp.float32)
+        cost0 = jnp.sum(jnp.minimum(
+            sampson_error(E_best.astype(jnp.float32), x1s, x2s), thr32), -1)
+        cost1 = jnp.sum(jnp.minimum(
+            sampson_error(E_pol.astype(jnp.float32), x1s, x2s), thr32), -1)
         better = ((cost1 <= cost0) & jnp.all(jnp.isfinite(E_pol), axis=(-2, -1)))[
             :, None, None
         ]
         E_best = jnp.where(better, E_pol, E_best)
-        inlier_mask = sampson_error(E_best, x1, x2) < threshold
+        inlier_mask = sampson_error(
+            E_best.astype(jnp.float32), x1s, x2s) < thr32
         n_inl = jnp.sum(inlier_mask, axis=-1)
 
     P, _ = decompose_essential(E_best, x1, x2)
