@@ -81,6 +81,15 @@ class DepthConfig:
     dpack_mode: str = "tridiag"       # tridiag: dense in-block core + two
                                       # small cross-block convs (G/3 = 1.33x
                                       # FLOPs); halo: one (G+2)/3 = 2x conv
+    warp_kernel: bool = False         # Mosaic VMEM-resident plane-sweep
+                                      # warp (ops/pallas/sweep_warp.py);
+                                      # TPU-only — other backends fall
+                                      # back to the XLA quad-gather.
+                                      # BLOCKED on the current toolchain:
+                                      # tpu.dynamic_gather spans only one
+                                      # 128-lane vreg (see the module
+                                      # docstring); leave False until a
+                                      # Mosaic update lands
     # pose-scale sampling (PANet; ref lib/config.py:184-188)
     scale_min: float = 0.9
     scale_max: float = 1.1

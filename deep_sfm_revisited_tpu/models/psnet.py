@@ -241,9 +241,19 @@ class PSNet(nn.Module):
                 cost = jnp.concatenate([refb, warped], axis=-1)
                 cost = cost.reshape(B, nlabel // G, h4, w4, -1)
             else:
-                warped = plane_sweep_warp(
-                    tgt_feat.astype(d), plane_depths, pose[:, j], K4, K4_inv,
-                )  # (B, D, H/4, W/4, 32)
+                if cfg.warp_kernel and jax.default_backend() == "tpu":
+                    from deep_sfm_revisited_tpu.ops.pallas.sweep_warp import (
+                        plane_sweep_warp_pallas,
+                    )
+                    warped = plane_sweep_warp_pallas(
+                        tgt_feat.astype(d), plane_depths, pose[:, j],
+                        K4, K4_inv,
+                    )  # (B, D, H/4, W/4, 32)
+                else:
+                    warped = plane_sweep_warp(
+                        tgt_feat.astype(d), plane_depths, pose[:, j],
+                        K4, K4_inv,
+                    )  # (B, D, H/4, W/4, 32)
                 refb = jnp.broadcast_to(
                     ref_feat[:, None].astype(d), warped.shape
                 )

@@ -97,3 +97,31 @@ def test_plane_sweep_matches_per_plane_inverse_warp():
     for i, d in enumerate(depths):
         per = cam.inverse_warp(feat, jnp.full((b, h, w), d, F32), pose, K, K_inv)
         np.testing.assert_allclose(vol[:, i], per, atol=1e-4)
+
+
+def test_bilinear_sample_pallas_matches_xla_interpret():
+    """Mosaic warp kernel ≡ the XLA quad-gather, incl. borders/out-of-range.
+
+    Interpret mode (CPU); the on-device equivalence at the flagship shape
+    is checked in scratch/warp_kernel_ablate.py.
+    """
+    from deep_sfm_revisited_tpu.ops.pallas.sweep_warp import (
+        bilinear_sample_pallas,
+    )
+
+    b, h, w, c = 2, 12, 20, 32
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    img = jax.random.normal(k1, (b, h, w, c), F32)
+    coords = jax.random.uniform(k2, (b, 5, 7, 9, 2), F32, -3.0, 1.0)
+    coords = coords * jnp.array([w + 4, h + 4], F32)  # spans out-of-range
+    ref = cam.bilinear_sample(img, coords)
+    got = bilinear_sample_pallas(img, coords, tile=128, interpret=True)
+    # ulp-level only: the kernel contracts the same fma chain differently
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-7)
+
+    imgb = img.astype(jnp.bfloat16)
+    refb = cam.bilinear_sample(imgb, coords)
+    gotb = bilinear_sample_pallas(imgb, coords, tile=128, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(gotb, np.float32), np.asarray(refb, np.float32)
+    )
