@@ -17,11 +17,19 @@ datacenter GPU: the serial per-image SIFT+FLANN+RANSAC pose path plus
 DICL flow and a 128-plane PSNet sweep runs at ~1 s/frame-pair
 (BASELINE.md targets >= 3x A100 throughput per v5e chip; the reference
 publishes no fps, so 1.0 pairs/s is the documented working estimate).
+
+Fault tolerance: the axon platform can fail a single device->host read
+with a transient `FAILED_PRECONDITION: TPU backend error` (this killed
+the round-1 driver capture). Warmup reads are individually tolerated and
+the whole build+measure attempt retries with bounded backoff
+(utils/retry.py) — the JSON line is emitted as long as ONE timed
+measurement survives.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -35,34 +43,47 @@ WARMUP = 2
 ITERS = 16  # distinct pairs per program; the one ~25 ms read amortizes
 
 
-def main():
-    jax.config.update("jax_enable_x64", True)
+def _read_scalar(x) -> float:
+    """Device->host sync read (patchable seam for the chaos test)."""
+    return float(x)
+
+
+def _build_and_measure(shape=(B, H, W), iters=ITERS, warmup=WARMUP,
+                       cfg_overrides=None):
+    """Create model + inputs, jit, warm up, and time one scan program.
+
+    Self-contained so a backend-reset retry rebuilds all device state.
+    """
     from deep_sfm_revisited_tpu.config import SfMConfig
     from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
 
-    cfg = SfMConfig.kitti(nlabel=128).override(**{
+    b, h, w = shape
+    over = {
         "pose.num_hypotheses": 512,
         "pose.ransac_iter": 5,
         "pose.num_correspondences": 1024,
         "pose.polish_iters": 5,
-    })
+    }
+    over.update(cfg_overrides or {})
+    cfg = SfMConfig.kitti(nlabel=128).override(**over)
     model = SFMNet(cfg, dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
-    ref = jax.random.uniform(key, (B, H, W, 3), jnp.float32, -1, 1)
+    ref = jax.random.uniform(key, (b, h, w, 3), jnp.float32, -1, 1)
     target = jnp.roll(ref, 3, axis=2)
     K = jnp.broadcast_to(
         jnp.asarray(
             [[718.856, 0, 607.19], [0, 718.856, 185.2], [0, 0, 1]],
             jnp.float32,
         ),
-        (B, 3, 3),
+        (b, 3, 3),
     )
 
     # initialize at a small spatial size (conv/BN parameter shapes are
     # resolution-independent) and under jit — an unjitted init dispatches
     # thousands of single ops through the remote TPU helper (minutes).
-    ref_s, tgt_s = ref[:, :128, :384], target[:, :128, :384]
+    hs, ws = min(h, 128), min(w, 384)
+    ref_s, tgt_s = ref[:, :hs, :ws], target[:, :hs, :ws]
     variables = jax.jit(
         lambda r, t, k: model.init(jax.random.PRNGKey(1), r, t, k,
                                    key=jax.random.PRNGKey(2))
@@ -80,9 +101,9 @@ def main():
     #     hoists the whole flow network out of the scan and the number is
     #     fake (verified: 15 ms/pair hoisted vs 31 ms/pair distinct on
     #     the pose-only path).
-    keys = jax.random.split(jax.random.PRNGKey(3), ITERS)
+    keys = jax.random.split(jax.random.PRNGKey(3), iters)
     refs = jax.random.uniform(
-        jax.random.PRNGKey(4), (ITERS, B, H, W, 3), jnp.float32, -1, 1
+        jax.random.PRNGKey(4), (iters, b, h, w, 3), jnp.float32, -1, 1
     )
     tgts = jnp.roll(refs, 3, axis=3)
 
@@ -96,20 +117,51 @@ def main():
         tot, _ = jax.lax.scan(body, 0.0, (refs, tgts, keys))
         return tot
 
-    for _ in range(WARMUP):
-        float(forward_all(variables, refs, tgts, K, keys))
+    # warmup: each read individually tolerated — a transient failure on a
+    # warmup read must not kill the bench (the compile is already cached)
+    warmed = 0
+    last_err = None
+    from deep_sfm_revisited_tpu.utils.retry import is_transient
+
+    for _ in range(max(warmup, 1) + 2):  # up to 2 extra tries
+        try:
+            _read_scalar(forward_all(variables, refs, tgts, K, keys))
+            warmed += 1
+            if warmed >= max(warmup, 1):
+                break
+        except Exception as e:
+            if not is_transient(e):
+                raise
+            last_err = e
+            print(f"bench: warmup read failed (transient): {e}",
+                  file=sys.stderr)
+    if warmed == 0 and last_err is not None:
+        raise last_err
 
     t0 = time.perf_counter()
-    float(forward_all(variables, refs, tgts, K, keys))
+    _read_scalar(forward_all(variables, refs, tgts, K, keys))
     dt = time.perf_counter() - t0
+    return b * iters / dt
 
-    fps = B * ITERS / dt
-    print(json.dumps({
+
+def main(shape=(B, H, W), iters=ITERS, warmup=WARMUP, cfg_overrides=None,
+         attempts=3):
+    jax.config.update("jax_enable_x64", True)
+    from deep_sfm_revisited_tpu.utils.retry import run_with_backend_retry
+
+    fps = run_with_backend_retry(
+        lambda: _build_and_measure(shape, iters, warmup, cfg_overrides),
+        attempts=attempts,
+        label="bench",
+    )
+    line = json.dumps({
         "metric": "frame_pairs_per_sec",
         "value": round(fps, 3),
         "unit": "pairs/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    })
+    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""Bounded retries for transient TPU-backend failures.
+
+The axon remote platform can fail a device->host read or a dispatch with
+`jax.errors.JaxRuntimeError: FAILED_PRECONDITION: TPU backend error`
+even though the chip and the program are fine (observed round 1: the
+official bench artifact recorded rc=1 on a warmup read; the identical
+program re-run measured 6.632 pairs/s). Measurement entry points
+(`bench.py`, `__graft_entry__.py`) must therefore treat such errors as
+retryable instead of crashing — the reference's counterpart is a human
+re-running the script.
+
+Policy: an error is retryable iff its message carries a transient gRPC /
+runtime status (FAILED_PRECONDITION, UNAVAILABLE, ...). Genuine program
+bugs (shape errors, NaN checks) and resource exhaustion (OOM) are NOT
+retried. Early attempts retry in place (device buffers usually survive);
+the last attempt tears the cached backend client down first so a wedged
+connection gets re-established — that costs a recompile, which is why it
+is last.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable, TypeVar
+
+T = TypeVar("T")
+
+# transient status markers; RESOURCE_EXHAUSTED (OOM) is deliberately absent
+_TRANSIENT = (
+    "FAILED_PRECONDITION",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "ABORTED",
+    "CANCELLED",
+    "INTERNAL",
+    "backend error",
+    "Connection reset",
+    "Socket closed",
+)
+
+
+def is_transient(err: BaseException) -> bool:
+    msg = str(err)
+    return isinstance(err, RuntimeError) and any(m in msg for m in _TRANSIENT)
+
+
+def reset_backend() -> None:
+    """Drop the cached backend client so the next use reconnects."""
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception as e:  # pragma: no cover - best effort
+        print(f"retry: clear_backends failed: {e}", file=sys.stderr)
+
+
+def run_with_backend_retry(
+    build_and_run: Callable[[], T],
+    attempts: int = 3,
+    backoff_s: float = 5.0,
+    reset_on_last: bool = True,
+    label: str = "run",
+) -> T:
+    """Call `build_and_run()` with bounded retries on transient errors.
+
+    `build_and_run` must be self-contained (create its own arrays and
+    jitted functions) so a retry after a backend reset re-creates all
+    device state. Non-transient errors propagate immediately.
+    """
+    last: BaseException | None = None
+    for attempt in range(attempts):
+        if attempt > 0:
+            print(
+                f"retry: {label} attempt {attempt + 1}/{attempts} after "
+                f"transient backend error: {last}",
+                file=sys.stderr,
+            )
+            if reset_on_last and attempt == attempts - 1:
+                reset_backend()
+            time.sleep(backoff_s * attempt)
+        try:
+            return build_and_run()
+        except Exception as e:
+            if not is_transient(e):
+                raise
+            last = e
+    assert last is not None
+    raise last
