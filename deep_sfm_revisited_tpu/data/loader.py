@@ -18,25 +18,44 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 
-def pad_to_multiple(arr: np.ndarray, multiple: int) -> np.ndarray:
-    """Replicate-pad H, W (leading two dims) up to a multiple
-    (≙ `main.py:334-338`, replicate padding)."""
+def pad_to_multiple(
+    arr: np.ndarray, multiple: int, mode: str = "edge"
+) -> np.ndarray:
+    """Pad H, W (leading two dims) up to a multiple.
+
+    Images are replicate-padded (≙ `main.py:494-500`, F.pad 'replicate');
+    GT depth is ZERO-padded — padded rows/cols must stay outside the
+    (gt > 0) eval mask, and the reference never pads GT at all (it
+    evaluates at raw size, `main.py:543,568-574`)."""
     h, w = arr.shape[:2]
     H = int(np.ceil(h / multiple) * multiple)
     W = int(np.ceil(w / multiple) * multiple)
     if (H, W) == (h, w):
         return arr
     pad = [(0, H - h), (0, W - w)] + [(0, 0)] * (arr.ndim - 2)
-    return np.pad(arr, pad, mode="edge")
+    if mode == "edge":
+        return np.pad(arr, pad, mode="edge")
+    return np.pad(arr, pad, mode="constant", constant_values=0)
 
 
 def collate(samples: List[Dict], pad_multiple: int = 0) -> Dict[str, np.ndarray]:
+    """Stack samples; pad image/depth keys to /pad_multiple and record each
+    sample's pre-pad raw (h, w) as `raw_hw` (B, 2) int32 so the eval
+    protocol can crop back (≙ `main.py:492-496` height_raw/width_raw)."""
     out = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
         if isinstance(vals[0], np.ndarray) and vals[0].ndim >= 2 and pad_multiple:
-            if key in ("ref", "target", "depth_gt"):
+            if key in ("ref", "target"):
                 vals = [pad_to_multiple(v, pad_multiple) for v in vals]
+            elif key == "depth_gt":
+                out["raw_hw"] = np.asarray(
+                    [v.shape[:2] for v in vals], np.int32
+                )
+                vals = [
+                    pad_to_multiple(v, pad_multiple, mode="zeros")
+                    for v in vals
+                ]
         out[key] = np.stack(vals)
     return out
 

@@ -28,16 +28,41 @@ def _mmean(x, mask):
     return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def eigen_crop_mask(depth_gt: jnp.ndarray, max_depth: float = 80.0) -> jnp.ndarray:
-    """Eigen evaluation mask (≙ `main.py:568-574`). depth_gt (B, H, W)."""
+def eigen_crop_mask(
+    depth_gt: jnp.ndarray,
+    max_depth: float = 80.0,
+    raw_hw: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Eigen evaluation mask (≙ `main.py:568-574`). depth_gt (B, H, W).
+
+    The reference evaluates at RAW image size (`gt_height, gt_width =
+    mask.shape[2:]` AFTER cropping the prediction back, `main.py:543,573`).
+    When inputs were padded to /128 for the network, pass `raw_hw`
+    (B, 2) int32 per-image raw (h, w): the crop window is computed on the
+    raw dims and padded rows/cols are masked out — bit-identical metrics
+    to evaluating on the unpadded arrays (tests/test_metrics_protocol.py).
+    """
     b, h, w = depth_gt.shape
     valid = (depth_gt > 0) & (depth_gt < max_depth)
-    y0, y1 = int(0.40810811 * h), int(0.99189189 * h)
-    x0, x1 = int(0.03594771 * w), int(0.96405229 * w)
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
+    # f64 window math (x64 is on package-wide for the RANSAC island):
+    # in f32, 0.99189189*370 rounds UP to 367.0 and the floor is off by
+    # one row vs the reference's float64 numpy computation
+    if raw_hw is None:
+        rh = jnp.full((b,), h, jnp.float64)
+        rw = jnp.full((b,), w, jnp.float64)
+    else:
+        rh = raw_hw[:, 0].astype(jnp.float64)
+        rw = raw_hw[:, 1].astype(jnp.float64)
+    # np.astype(int32) in the reference truncates toward zero == floor here
+    y0 = jnp.floor(0.40810811 * rh)[:, None, None]
+    y1 = jnp.floor(0.99189189 * rh)[:, None, None]
+    x0 = jnp.floor(0.03594771 * rw)[:, None, None]
+    x1 = jnp.floor(0.96405229 * rw)[:, None, None]
+    ys = jnp.arange(h, dtype=jnp.float64)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float64)[None, None, :]
     crop = (ys >= y0) & (ys < y1) & (xs >= x0) & (xs < x1)
-    return valid & crop[None]
+    in_raw = (ys < rh[:, None, None]) & (xs < rw[:, None, None])
+    return valid & crop & in_raw
 
 
 def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -107,10 +132,12 @@ def evaluate_depth(
     min_depth: float,
     max_depth: float = 80.0,
     median_scale: bool = True,
+    raw_hw: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full Eigen protocol: mask + median align + clamp + metrics
-    (≙ `validate`, main.py:560-630)."""
-    mask = eigen_crop_mask(gt, max_depth)
+    (≙ `validate`, main.py:560-630). `raw_hw` (B, 2) carries per-image
+    pre-pad sizes so padded inputs evaluate exactly as unpadded ones."""
+    mask = eigen_crop_mask(gt, max_depth, raw_hw=raw_hw)
     if median_scale:
         pred = median_scale_align(pred, gt, mask)
     pred = jnp.clip(pred, min_depth, nlabel * min_depth)

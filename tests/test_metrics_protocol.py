@@ -1,0 +1,109 @@
+"""Eigen eval protocol: padded inputs must evaluate EXACTLY like raw ones.
+
+The reference crops the padded prediction back to raw size and computes
+the crop window on the raw dims (`main.py:543,568-574`). We keep static
+padded shapes under jit and instead mask with per-image `raw_hw` —
+these tests pin that the two formulations agree."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deep_sfm_revisited_tpu.data.loader import collate, pad_to_multiple
+from deep_sfm_revisited_tpu.train.metrics import (
+    eigen_crop_mask,
+    evaluate_depth,
+)
+
+
+def _scene(rng, h, w):
+    gt = np.zeros((h, w), np.float64)
+    # sparse LiDAR-like GT in the lower image half
+    ys = rng.integers(h // 3, h, size=4000)
+    xs = rng.integers(0, w, size=4000)
+    gt[ys, xs] = rng.uniform(1.0, 79.0, size=4000)
+    pred = rng.uniform(0.5, 90.0, size=(h, w))
+    return gt, pred
+
+
+def test_crop_window_matches_reference_formula_370x1224():
+    """Reference: crop = int32([0.40810811*h, 0.99189189*h, 0.03594771*w,
+    0.96405229*w]) rows/cols half-open (`main.py:571-574`)."""
+    h, w = 370, 1224
+    gt = jnp.ones((1, h, w))  # everywhere valid
+    mask = np.asarray(eigen_crop_mask(gt))
+    crop = np.array(
+        [0.40810811 * h, 0.99189189 * h, 0.03594771 * w, 0.96405229 * w]
+    ).astype(np.int32)
+    assert tuple(crop) == (151, 366, 43, 1180)
+    expect = np.zeros((h, w), bool)
+    expect[crop[0]:crop[1], crop[2]:crop[3]] = True
+    np.testing.assert_array_equal(mask[0], expect)
+
+
+def test_padded_metrics_equal_unpadded():
+    rng = np.random.default_rng(0)
+    h, w = 370, 1224
+    gt, pred = _scene(rng, h, w)
+
+    ref = evaluate_depth(
+        jnp.asarray(pred)[None], jnp.asarray(gt)[None],
+        nlabel=128, min_depth=0.5,
+    )
+
+    # pad exactly as the loader does: gt zeros; the prediction carries
+    # whatever the network produced in the padded band (junk here)
+    gt_p = pad_to_multiple(gt, 128, mode="zeros")
+    pred_p = pad_to_multiple(pred, 128, mode="edge")
+    pred_p[h:, :] = 123.0
+    pred_p[:, w:] = 456.0
+    assert gt_p.shape == (384, 1280)
+    raw_hw = jnp.asarray([[h, w]], jnp.int32)
+    got = evaluate_depth(
+        jnp.asarray(pred_p)[None], jnp.asarray(gt_p)[None],
+        nlabel=128, min_depth=0.5, raw_hw=raw_hw,
+    )
+
+    for k in ref:
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k]), rtol=0, atol=1e-12,
+            err_msg=k,
+        )
+
+
+def test_padded_crop_window_not_shifted():
+    """Round-1 bug: the window computed on PADDED dims (384x1280) shifts
+    vs the raw-dims window — assert the raw_hw path does not."""
+    h, w = 370, 1224
+    gt = np.zeros((384, 1280))
+    gt[:h, :w] = 1.0  # valid everywhere inside raw region
+    mask = np.asarray(
+        eigen_crop_mask(jnp.asarray(gt)[None],
+                        raw_hw=jnp.asarray([[h, w]], jnp.int32))
+    )[0]
+    ys, xs = np.nonzero(mask)
+    assert (ys.min(), ys.max()) == (151, 365)
+    assert (xs.min(), xs.max()) == (43, 1179)
+
+
+def test_collate_zero_pads_gt_and_records_raw_hw():
+    h, w = 370, 1224
+    rng = np.random.default_rng(1)
+    s = {
+        "ref": rng.random((h, w, 3), np.float32),
+        "target": rng.random((h, w, 3), np.float32),
+        "depth_gt": rng.random((h, w)).astype(np.float32) + 1.0,
+        "intrinsics": np.eye(3, dtype=np.float32),
+    }
+    batch = collate([s], pad_multiple=128)
+    assert batch["ref"].shape == (1, 384, 1280, 3)
+    assert batch["depth_gt"].shape == (1, 384, 1280)
+    np.testing.assert_array_equal(batch["raw_hw"], [[h, w]])
+    # depth padding is zeros (outside every (gt>0) mask) ...
+    assert np.all(batch["depth_gt"][0, h:, :] == 0)
+    assert np.all(batch["depth_gt"][0, :, w:] == 0)
+    # ... images replicate (≙ F.pad 'replicate', main.py:497-500)
+    np.testing.assert_array_equal(
+        batch["ref"][0, h:, :w], np.broadcast_to(
+            s["ref"][h - 1], (384 - h, w, 3))
+    )
