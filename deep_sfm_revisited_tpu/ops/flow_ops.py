@@ -39,6 +39,31 @@ def coord2flow(coord1: jnp.ndarray, coord2: jnp.ndarray) -> jnp.ndarray:
     return coord2[..., :2] - coord1[..., :2]
 
 
+def _candidate_grid(b, h, w, margin, n, dtype, key):
+    """Jittered stride grid of exactly n points inside `margin`."""
+    ih, iw = h - 2 * margin, w - 2 * margin
+    aspect = iw / ih
+    ny = max(int(round((n / aspect) ** 0.5)), 1)
+    nx = max(n // ny, 1)
+    ys = jnp.linspace(margin, h - 1 - margin, ny)
+    xs = jnp.linspace(margin, w - 1 - margin, nx)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    pts = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (ny*nx, 2)
+    # pad/trim to exactly n (repeat from start if short)
+    reps = -(-n // pts.shape[0])
+    pts = jnp.tile(pts, (reps, 1))[:n]
+    pts = jnp.broadcast_to(pts[None], (b, n, 2)).astype(dtype)
+    if key is not None:
+        cell = jnp.array([iw / nx, ih / ny], dtype=dtype)
+        jitter = jax.random.uniform(key, pts.shape, dtype, -0.5, 0.5) * cell
+        pts = jnp.clip(
+            pts + jitter,
+            jnp.array([margin, margin], dtype=dtype),
+            jnp.array([w - 1 - margin, h - 1 - margin], dtype=dtype),
+        )
+    return pts
+
+
 def sample_correspondences(
     flow: jnp.ndarray,
     K_inv: jnp.ndarray,
@@ -46,7 +71,10 @@ def sample_correspondences(
     margin: int = 10,
     key: jax.Array | None = None,
     conf: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    min_matches: int = 20,
+    oversample: int = 4,
+    good_entropy: float = 0.7,
+):
     """Subsample normalized correspondences from dense flow, on device.
 
     flow (B, H, W, 2); K_inv (B, 3, 3); returns (x1, x2), each
@@ -54,39 +82,53 @@ def sample_correspondences(
     input format of `compute_P_matrix_ransac` (`epipolar_utils.py:112-135`,
     fed at `models/SFMnet.py:252-270`).
 
-    Sampling: a uniform stride grid inside `margin` (the reference's
-    fallback, `models/SFMnet.py:183,239-241`), optionally jittered by `key`
-    and importance-weighted by a confidence map (replacing SIFT keypoint
-    masks with a deterministic, batchable scheme). Fixed output shape for
-    jit.
+    Without `conf`: a uniform stride grid inside `margin` (the reference's
+    fallback, `models/SFMnet.py:183,239-241`), optionally jittered by
+    `key`. Fixed output shape for jit.
+
+    With `conf` (B, H, W, 1) NORMALIZED ENTROPY (DICL `FlowEntropy`,
+    low = confident): the deterministic replacement for the reference's
+    SIFT/SURF keypoint masks (`models/SFMnet.py:203-254` picks GOOD
+    correspondences; the CUDA solver additionally requires >= 20 matches,
+    `lib/config.py:55`). An `oversample`x denser candidate grid is scored
+    by confidence weight w = 1 - entropy and the top `num_points`
+    candidates are kept (Gumbel-perturbed when `key` is given, i.e.
+    weighted sampling without replacement). Degenerate guard: when fewer
+    than `min_matches` candidates are confident (entropy < good_entropy),
+    selection falls back to uniform — the reference's dense-grid fallback
+    (`models/SFMnet.py:239-241`). Returns (x1, x2, num_good) with
+    num_good (B,) the per-image confident-candidate count.
     """
     b, h, w, _ = flow.shape
-    ih, iw = h - 2 * margin, w - 2 * margin
-    # stride grid with ~num_points cells
-    aspect = iw / ih
-    ny = max(int(round((num_points / aspect) ** 0.5)), 1)
-    nx = max(num_points // ny, 1)
-    ys = jnp.linspace(margin, h - 1 - margin, ny)
-    xs = jnp.linspace(margin, w - 1 - margin, nx)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    pts = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (ny*nx, 2)
-    # pad/trim to exactly num_points (repeat from start if short)
-    reps = -(-num_points // pts.shape[0])
-    pts = jnp.tile(pts, (reps, 1))[:num_points]
-    pts = jnp.broadcast_to(pts[None], (b, num_points, 2)).astype(flow.dtype)
-
     if key is not None:
-        cell = jnp.array([iw / nx, ih / ny], dtype=flow.dtype)
-        jitter = jax.random.uniform(key, pts.shape, flow.dtype, -0.5, 0.5) * cell
-        pts = jnp.clip(
-            pts + jitter,
-            jnp.array([margin, margin], dtype=flow.dtype),
-            jnp.array([w - 1 - margin, h - 1 - margin], dtype=flow.dtype),
-        )
+        k_grid, k_gumbel = jax.random.split(key)
+    else:
+        k_grid = k_gumbel = None
 
+    n_cand = num_points * (oversample if conf is not None else 1)
+    pts = _candidate_grid(b, h, w, margin, n_cand, flow.dtype, k_grid)
     pts_i = jnp.round(pts).astype(jnp.int32)
-    flat = flow.reshape(b, h * w, 2)
     idx = pts_i[..., 1] * w + pts_i[..., 0]
+
+    num_good = None
+    if conf is not None:
+        ent = conf.reshape(b, h * w).astype(flow.dtype)
+        e = jnp.take_along_axis(ent, idx, axis=1)  # (B, n_cand)
+        wgt = jnp.clip(1.0 - e, 0.0, 1.0)
+        good = e < good_entropy
+        num_good = jnp.sum(good, axis=1)
+        use_conf = (num_good >= max(min_matches, 1))[:, None]
+        score = jnp.where(use_conf, jnp.log(wgt + 1e-6), 0.0)
+        if k_gumbel is not None:
+            u = jax.random.uniform(
+                k_gumbel, score.shape, flow.dtype, 1e-12, 1.0
+            )
+            score = score - jnp.log(-jnp.log(u))
+        _, top = jax.lax.top_k(score, num_points)  # (B, num_points)
+        pts_i = jnp.take_along_axis(pts_i, top[..., None], axis=1)
+        idx = jnp.take_along_axis(idx, top, axis=1)
+
+    flat = flow.reshape(b, h * w, 2)
     f = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B,N,2)
     p1 = pts_i.astype(flow.dtype)
     p2 = p1 + f
@@ -96,6 +138,8 @@ def sample_correspondences(
     h2 = jnp.concatenate([p2, ones], axis=-1)
     n1 = jnp.einsum("bij,bnj->bni", K_inv, h1)
     n2 = jnp.einsum("bij,bnj->bni", K_inv, h2)
+    if conf is not None:
+        return n1[..., :2], n2[..., :2], num_good
     return n1[..., :2], n2[..., :2]
 
 
