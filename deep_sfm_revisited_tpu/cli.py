@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference .pth.tar checkpoint to port "
                         "(utils/torch_port; ≙ main.py:200-242 loading)")
     p.add_argument("--gt-depth-dir", default=None)
+    p.add_argument("--record-pose", action="store_true",
+                   help="evaluate pose errors only (≙ cfg.RECORD_POSE "
+                        "branch of validate, main.py:504-530)")
+    p.add_argument("--save-pose", action="store_true",
+                   help="save per-pair predicted poses into the dataset "
+                        "tree for later pred_pose_online=False training "
+                        "(≙ save_pose, main.py:636-703)")
     p.add_argument("--out", default="output")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--override", nargs="*", default=[],
@@ -125,6 +132,7 @@ def build_loaders(cfg, args):
         val_ds = KittiRawDataset(
             args.data, train=False, kitti_697=cfg.data.kitti_697,
             gt_depth_dir=args.gt_depth_dir, transform=val_tf,
+            eigen_sfm=cfg.data.eigen_sfm,
         )
     train_loader = BatchLoader(
         train_ds, cfg.train.batch_size, workers=cfg.data.workers,
@@ -135,6 +143,84 @@ def build_loaders(cfg, args):
         pad_multiple=cfg.data.pad_multiple, drop_last=False,
     )
     return train_loader, val_loader
+
+
+def apply_pretrained(args, cfg, state):
+    """Restore pretrained weights onto a fresh state — the reference's
+    checkpoint-loading block (≙ main.py:200-245): full checkpoint
+    (--pretrained), flow-only / depth-only subtree merges
+    (--pretrained-flow / --pretrained-depth, strict=False semantics), and
+    torch-checkpoint porting (--pretrained-torch)."""
+    if args.pretrained:
+        from deep_sfm_revisited_tpu.train.checkpoint import (
+            restore_checkpoint,
+        )
+
+        state = restore_checkpoint(args.pretrained, state)
+    if args.pretrained_flow:
+        from deep_sfm_revisited_tpu.train.checkpoint import restore_subtree
+
+        state = restore_subtree(args.pretrained_flow, state, "flow_net")
+    if args.pretrained_depth:
+        from deep_sfm_revisited_tpu.train.checkpoint import restore_subtree
+
+        state = restore_subtree(args.pretrained_depth, state, "depth_net")
+    if args.pretrained_torch:
+        from deep_sfm_revisited_tpu.utils import torch_port as tp
+
+        sd = tp.load_torch_checkpoint(args.pretrained_torch)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        flow_port = (cfg.flow.estimator
+                     if cfg.flow.estimator in ("DICL", "RAFT") else None)
+        depth_port = (cfg.depth.estimator
+                      if cfg.depth.estimator == "PSNET" else None)
+        if flow_port is None:
+            print(f"torch port: no table for flow estimator "
+                  f"{cfg.flow.estimator} — leaving flow_net untouched")
+        if depth_port is None:
+            print(f"torch port: no table for depth estimator "
+                  f"{cfg.depth.estimator} — leaving depth_net untouched")
+        if flow_port is None and depth_port is None:
+            raise SystemExit(
+                "--pretrained-torch: no port table for either "
+                "configured estimator")
+        new_vars, report = tp.convert_reference_checkpoint(
+            sd, variables,
+            flow=flow_port,
+            depth=depth_port,
+            context_bn=cfg.depth.context_bn,
+            dep_context=cfg.depth.psnet_dep_context,
+        )
+        if report["missing"] or report["unused"]:
+            print(f"torch port: {len(report['missing'])} missing, "
+                  f"{len(report['unused'])} unused torch keys "
+                  f"(strict=False semantics, main.py:203)")
+        state = state.replace(params=new_vars["params"],
+                              batch_stats=new_vars["batch_stats"])
+    return state
+
+
+def make_pose_forward(cfg, state):
+    """Jitted early-return pose forward (≙ models/SFMnet.py:157-158)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+
+    pose_cfg = cfg.override(record_pose=True)
+    dtype = jnp.bfloat16 if cfg.train.mixed_prec else jnp.float32
+    model = SFMNet(pose_cfg, dtype=dtype)
+
+    @jax.jit
+    def fwd(ref, target, K, key):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            ref, target, K, key=key, train=False,
+        )
+        return out["pose"]
+
+    return fwd
 
 
 def main(argv=None):
@@ -150,57 +236,85 @@ def main(argv=None):
         make_eval_step,
     )
 
-    if args.validate:
+    if args.validate or args.record_pose or args.save_pose:
         rng = jax.random.PRNGKey(cfg.train.seed)
         model, state = create_train_state(
             cfg, rng, sample_shape=(1, *cfg.data.val_size)
         )
-        if args.pretrained:
-            from deep_sfm_revisited_tpu.train.checkpoint import (
-                restore_checkpoint,
+        state = apply_pretrained(args, cfg, state)
+
+        if args.record_pose:
+            from deep_sfm_revisited_tpu.train.pose_eval import (
+                record_pose_errors,
             )
 
-            state = restore_checkpoint(args.pretrained, state)
-        if args.pretrained_torch:
-            from deep_sfm_revisited_tpu.utils import torch_port as tp
+            fwd = make_pose_forward(cfg, state)
 
-            sd = tp.load_torch_checkpoint(args.pretrained_torch)
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
-            flow_port = (cfg.flow.estimator
-                         if cfg.flow.estimator in ("DICL", "RAFT") else None)
-            depth_port = (cfg.depth.estimator
-                          if cfg.depth.estimator == "PSNET" else None)
-            if flow_port is None:
-                print(f"torch port: no table for flow estimator "
-                      f"{cfg.flow.estimator} — leaving flow_net untouched")
-            if depth_port is None:
-                print(f"torch port: no table for depth estimator "
-                      f"{cfg.depth.estimator} — leaving depth_net untouched")
-            if flow_port is None and depth_port is None:
-                raise SystemExit(
-                    "--pretrained-torch: no port table for either "
-                    "configured estimator")
-            new_vars, report = tp.convert_reference_checkpoint(
-                sd, variables,
-                flow=flow_port,
-                depth=depth_port,
-                context_bn=cfg.depth.context_bn,
-                dep_context=cfg.depth.psnet_dep_context,
+            def pose_on_batch(batch, key):
+                import jax.numpy as jnp
+
+                return fwd(jnp.asarray(batch["ref"]),
+                           jnp.asarray(batch["target"]),
+                           jnp.asarray(batch["intrinsics"]), key)
+
+            results = record_pose_errors(
+                val_loader, pose_on_batch, jax.random.PRNGKey(0)
             )
-            if report["missing"] or report["unused"]:
-                print(f"torch port: {len(report['missing'])} missing, "
-                      f"{len(report['unused'])} unused torch keys "
-                      f"(strict=False semantics, main.py:203)")
-            state = state.replace(params=new_vars["params"],
-                                  batch_stats=new_vars["batch_stats"])
+            print({k: round(v, 6) for k, v in results.items()})
+            return results
+
+        if args.save_pose:
+            # deterministic no-augmentation datasets over BOTH splits: the
+            # saved poses feed pred_pose_online=False TRAINING
+            # (≙ save_pose main.py:636-703 run per sequence)
+            from deep_sfm_revisited_tpu.data import (
+                Compose,
+                KittiRawDataset,
+                KittiVODataset,
+                Normalize,
+            )
+            from deep_sfm_revisited_tpu.train.pose_eval import (
+                save_raw_pred_poses,
+                save_vo_pred_poses,
+            )
+
+            fwd = make_pose_forward(cfg, state)
+            tf = Compose([Normalize()])
+            written = []
+            for train_split in (True, False):
+                if cfg.data.dataset == "kitti_vo":
+                    ds = KittiVODataset(args.data, train=train_split,
+                                        skip=cfg.data.skip, transform=tf)
+                    w = save_vo_pred_poses(
+                        ds, fwd, args.data, jax.random.PRNGKey(0),
+                        pad_multiple=cfg.data.pad_multiple)
+                else:
+                    ds = KittiRawDataset(
+                        args.data, train=train_split,
+                        gt_depth_dir=args.gt_depth_dir, transform=tf,
+                        random_offset=False, random_fw_bw=False,
+                    )
+                    w = save_raw_pred_poses(
+                        ds, fwd, args.data, jax.random.PRNGKey(0),
+                        pad_multiple=cfg.data.pad_multiple)
+                written.extend(w if isinstance(w, list) else list(w))
+            print(f"saved predicted poses for {len(written)} entries")
+            return written
+
         eval_fn = make_eval_step(model, cfg)
         results = validate(val_loader, state, eval_fn,
                            jax.random.PRNGKey(0))
         print({k: round(v, 4) for k, v in results.items()})
         return results
 
-    return fit(cfg, train_loader, val_loader, out_dir=args.out)
+    restore_fn = (
+        (lambda state: apply_pretrained(args, cfg, state))
+        if (args.pretrained or args.pretrained_flow
+            or args.pretrained_depth or args.pretrained_torch)
+        else None
+    )
+    return fit(cfg, train_loader, val_loader, out_dir=args.out,
+               restore_fn=restore_fn, start_epoch=args.start_epoch)
 
 
 if __name__ == "__main__":

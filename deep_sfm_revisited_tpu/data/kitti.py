@@ -125,6 +125,18 @@ class KittiVODataset:
             )
             for seq in seqs
         }
+        # presaved predicted poses (≙ KITTI_loader.py:121-125): stacked
+        # per-sequence arrays pred_poses/{seq}_fw.npy / _bw.npy indexed by
+        # the pair's EARLIER frame id; absent -> zero placeholders
+        # (≙ KITTI_loader.py:231-237) and the model's online pose path
+        self.pred_poses_fw = {}
+        self.pred_poses_bw = {}
+        for seq in seqs:
+            fw = os.path.join(root, "pred_poses", f"{seq:02d}_fw.npy")
+            bw = os.path.join(root, "pred_poses", f"{seq:02d}_bw.npy")
+            if os.path.exists(fw) and os.path.exists(bw):
+                self.pred_poses_fw[seq] = np.load(fw)
+                self.pred_poses_bw[seq] = np.load(bw)
 
     def __len__(self):
         return len(self.frames)
@@ -164,6 +176,15 @@ class KittiVODataset:
         if depth is None:
             depth = np.zeros(img2.shape[:2], np.float32)
 
+        # presaved predicted poses, indexed by the pair's first frame id
+        # (≙ KITTI_loader.py:231-237; zero placeholder when absent)
+        if seq in self.pred_poses_fw and id1 < len(self.pred_poses_fw[seq]):
+            pred_fw = np.asarray(self.pred_poses_fw[seq][id1], np.float32)
+            pred_bw = np.asarray(self.pred_poses_bw[seq][id1], np.float32)
+        else:
+            pred_fw = np.zeros((3, 4), np.float32)
+            pred_bw = np.zeros((3, 4), np.float32)
+
         images, depths, K = [img2, img1], [depth, depth], K
         if self.transform is not None:
             images, depths, K = self.transform(images, depths, K, rng)
@@ -172,9 +193,12 @@ class KittiVODataset:
             "target": images[1],
             "intrinsics": K.astype(np.float32),
             "pose_gt": pose_bw,
+            "pred_pose": pred_bw,      # same ref->target orientation as pose_gt
+            "pred_pose_fw": pred_fw,
             "depth_gt": depths[0].astype(np.float32),
             "seq": seq,
             "frame_id": id2,
+            "frame_id1": id1,
         }
 
 
@@ -190,6 +214,7 @@ class KittiRawDataset:
         transform=None,
         random_offset: bool = True,
         random_fw_bw: bool = True,
+        eigen_sfm: bool = False,
     ):
         self.root = root
         self.train = train
@@ -205,6 +230,14 @@ class KittiRawDataset:
         )
         with open(os.path.join(root, split)) as f:
             self.items = [ln.split() for ln in f.read().splitlines() if ln]
+        if eigen_sfm and not train:
+            # Eigen-SfM subset: boolean mask over the 652-image benchmark
+            # split selecting the 256 SfM-compatible samples
+            # (≙ KITTI_loader.py:296-301)
+            assert not kitti_697, "EIGEN_SFM requires the benchmark split"
+            mask = np.load(os.path.join(root, "eigen_sfm_mask.npy"))
+            idx = np.nonzero(np.asarray(mask).ravel())[0]
+            self.items = [self.items[int(i)] for i in idx]
 
         # precomputed dicts when available (≙ KITTI_loader.py:303-304)
         self.calib_dict = self._try_load_dict("kitti_raw_calib_dict.npy")
@@ -279,6 +312,20 @@ class KittiRawDataset:
             else:
                 depth = np.zeros(img2.shape[:2], np.float32)
 
+        # presaved predicted poses: per-frame [fw; bw] .npy in the
+        # reference's pred_poses_fb layout (image_02 -> pred_poses_fb,
+        # png -> npy; ≙ KITTI_loader.py:359-366, written by save_pose
+        # main.py:686-692 / train/pose_eval.save_raw_pred_poses)
+        fb_path = os.path.join(
+            self.root, folder, "pred_poses_fb", f"{f2:010d}.npy"
+        )
+        if os.path.exists(fb_path):
+            fb = np.load(fb_path).astype(np.float32)
+            pred_fw, pred_bw = fb[0], fb[1]
+        else:
+            pred_fw = np.zeros((3, 4), np.float32)
+            pred_bw = np.zeros((3, 4), np.float32)
+
         images, depths = [img2, img1], [depth, depth]
         if self.transform is not None:
             images, depths, K = self.transform(images, depths, K, rng)
@@ -287,5 +334,8 @@ class KittiRawDataset:
             "target": images[1],
             "intrinsics": K.astype(np.float32),
             "pose_gt": pose_bw,
+            "pred_pose": pred_bw,      # same ref->target orientation as pose_gt
+            "pred_pose_fw": pred_fw,
             "depth_gt": depths[0].astype(np.float32),
+            "index": index,
         }

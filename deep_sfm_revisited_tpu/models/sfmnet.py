@@ -114,6 +114,7 @@ class SFMNet(nn.Module):
         target: jnp.ndarray,         # (B, H, W, 3)
         intrinsics: jnp.ndarray,     # (B, 3, 3)
         pose_gt: Optional[jnp.ndarray] = None,   # (B, 3, 4)
+        pred_pose: Optional[jnp.ndarray] = None,  # (B, 3, 4) presaved
         use_gt_pose: bool = False,
         train: bool = False,
         key: Optional[jax.Array] = None,
@@ -122,7 +123,11 @@ class SFMNet(nn.Module):
 
         `pose` is the ref->target transform (B, 3, 4) with unit (or
         NORM_TARGET-scaled, inside PSNet) translation. Matches the
-        reference forward contract (`models/SFMnet.py:95-174`).
+        reference forward contract (`models/SFMnet.py:95-174`), including
+        the pre-saved-pose source: with `cfg.pred_pose_online=False` the
+        depth net is conditioned on `pred_pose` — poses saved by a prior
+        `save_pose` run (`models/SFMnet.py:139-141`, `main.py:636-703`)
+        — NOT on the ground truth.
         """
         cfg = self.cfg
         K = intrinsics.astype(jnp.float32)
@@ -130,14 +135,27 @@ class SFMNet(nn.Module):
 
         flow_all = None
         inliers = None
-        if use_gt_pose or not cfg.pred_pose_online:
-            # oracle / pre-saved pose path (models/SFMnet.py:139-155)
+        num_matches = None
+        if use_gt_pose:
+            # oracle GT-pose path (models/SFMnet.py:148-155)
             assert pose_gt is not None
             pose = pose_gt.astype(jnp.float32)
             if cfg.pose.gt_pose_normalized:
                 scale = jnp.linalg.norm(pose[:, :3, 3], axis=-1)
                 pose = pose.at[:, :3, 3].divide(scale[:, None])
             flow = jnp.zeros(ref.shape[:3] + (2,), jnp.float32)
+        elif not cfg.pred_pose_online:
+            # pre-saved predicted poses, the two-stage "save poses then
+            # train depth" workload (models/SFMnet.py:139-141)
+            assert pred_pose is not None, (
+                "pred_pose_online=False needs a pred_pose input "
+                "(saved by train/pose_eval.save_sequence_poses)"
+            )
+            pose = pred_pose.astype(jnp.float32)
+            flow = jnp.zeros(ref.shape[:3] + (2,), jnp.float32)
+            if cfg.pose.pred_pose_gt_scale and pose_gt is not None:
+                scale = jnp.linalg.norm(pose_gt[:, :3, 3], axis=-1)
+                pose = pose.at[:, :3, 3].multiply(scale[:, None])
         else:
             pair = jnp.concatenate([ref, target], axis=-1)
             if train:
@@ -149,7 +167,9 @@ class SFMNet(nn.Module):
             flow = flow.astype(jnp.float32)
 
             if cfg.pose.estimator == "RANSAC":
-                pose, inliers = self._pose_by_ransac(flow, K_inv, key)
+                pose, inliers, num_matches = self._pose_by_ransac(
+                    flow, K_inv, key, conf=conf
+                )
             elif cfg.pose.estimator == "POSENET":
                 # the flow confidence (DICL entropy; None for RAFT) is a
                 # pose-net input in the reference (SFMnet.py:133)
@@ -177,10 +197,18 @@ class SFMNet(nn.Module):
             "depth_init": depth_init,
             "depth": depth,
             "inliers": inliers,
+            "num_matches": num_matches,
         }
 
-    def _pose_by_ransac(self, flow, K_inv, key):
+    def _pose_by_ransac(self, flow, K_inv, key, conf=None):
         """Batched on-device RANSAC pose (≙ `pose_by_ransac`, SFMnet.py:176).
+
+        `conf` is the flow net's entropy map (DICL; None for RAFT):
+        correspondences are importance-sampled toward confident pixels —
+        the deterministic replacement for the reference's SIFT keypoint
+        masks (`models/SFMnet.py:203-254`) — with the reference's
+        >= min_matches degenerate guard (`lib/config.py:55`) falling back
+        to the uniform grid.
 
         With cfg.pose.differentiable, the winning E is re-refined through
         the implicit-gradient layer on the *non-detached* correspondences,
@@ -192,13 +220,26 @@ class SFMNet(nn.Module):
         if key is None:
             key = jax.random.PRNGKey(0)
         k_sample, k_ransac = jax.random.split(key)
-        x1, x2 = sample_correspondences(
-            flow.astype(jnp.float64),
-            K_inv.astype(jnp.float64),
-            num_points=cfg.num_correspondences,
-            margin=cfg.corr_margin,
-            key=k_sample,
-        )
+        num_matches = None
+        if conf is not None:
+            x1, x2, num_matches = sample_correspondences(
+                flow.astype(jnp.float64),
+                K_inv.astype(jnp.float64),
+                num_points=cfg.num_correspondences,
+                margin=cfg.corr_margin,
+                key=k_sample,
+                conf=jax.lax.stop_gradient(conf).astype(jnp.float64),
+                min_matches=cfg.min_matches,
+            )
+            num_matches = jax.lax.stop_gradient(num_matches)
+        else:
+            x1, x2 = sample_correspondences(
+                flow.astype(jnp.float64),
+                K_inv.astype(jnp.float64),
+                num_points=cfg.num_correspondences,
+                margin=cfg.corr_margin,
+                key=k_sample,
+            )
 
         out = ransac_pose(
             jax.lax.stop_gradient(x1),
@@ -224,8 +265,10 @@ class SFMNet(nn.Module):
                 )
             )(jax.lax.stop_gradient(out["E"]), x1, x2, w)
             P, _ = decompose_essential(E, x1, x2)
-            return P.astype(jnp.float32), jax.lax.stop_gradient(out["inliers"])
+            return (P.astype(jnp.float32),
+                    jax.lax.stop_gradient(out["inliers"]), num_matches)
         return (
             jax.lax.stop_gradient(out["P"].astype(jnp.float32)),
             jax.lax.stop_gradient(out["inliers"]),
+            num_matches,
         )

@@ -31,7 +31,7 @@ from deep_sfm_revisited_tpu.utils.logging import AverageMeter, MetricLogger
 
 def _to_device(batch: Dict[str, np.ndarray], mesh=None):
     keep = {k: v for k, v in batch.items()
-            if isinstance(v, np.ndarray) and v.dtype != object}
+            if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"}
     if mesh is not None:
         return shard_batch(keep, mesh)
     return jax.tree_util.tree_map(jnp.asarray, keep)
@@ -126,8 +126,18 @@ def fit(
     val_loader=None,
     out_dir: str = "output",
     sample_shape=None,
+    restore_fn=None,
+    start_epoch: int = 0,
 ):
-    """Full training run (≙ `main()`, main.py:122-291)."""
+    """Full training run (≙ `main()`, main.py:122-291).
+
+    `restore_fn(state) -> state` applies checkpoint / subtree / ported
+    restores to the freshly-initialized state before training — the
+    driver's --pretrained / --pretrained-flow / --pretrained-depth /
+    --pretrained-torch wiring (≙ main.py:200-245). `start_epoch` resumes
+    the epoch loop (and thus the milestone LR schedule position via the
+    restored optimizer step) mid-run (≙ main.py:90-91,266).
+    """
     import os
 
     from deep_sfm_revisited_tpu.train.checkpoint import save_checkpoint
@@ -145,13 +155,15 @@ def fit(
     model, state = create_train_state(
         cfg, rng, sample_shape=shape, steps_per_epoch=len(train_loader)
     )
+    if restore_fn is not None:
+        state = restore_fn(state)
     mesh = make_mesh(cfg.mesh) if cfg.mesh.model_parallel > 1 else None
     step_fn = make_train_step(model, cfg)
     eval_fn = make_eval_step(model, cfg)
 
     best = np.inf
     key = jax.random.PRNGKey(cfg.train.seed + 1)
-    for epoch in range(cfg.train.epochs):
+    for epoch in range(start_epoch, cfg.train.epochs):
         key, k_ep, k_val = jax.random.split(key, 3)
         state, avg_loss = train_epoch(
             train_loader, state, step_fn, epoch, k_ep, logger, mlog, mesh,

@@ -84,6 +84,99 @@ def save_sequence_poses(
     return written
 
 
+def _batched_pairs(dataset, indices, batch_size, pad_multiple=128):
+    """Collate dataset samples into padded inference batches."""
+    from deep_sfm_revisited_tpu.data.loader import collate
+
+    for s in range(0, len(indices), batch_size):
+        chunk = [dataset[int(i)] for i in indices[s:s + batch_size]]
+        yield collate(chunk, pad_multiple=pad_multiple), chunk
+
+
+def save_vo_pred_poses(
+    dataset,
+    pose_forward: Callable,  # (ref, target, K, key) -> (B, 3, 4)
+    root: str,
+    key: jax.Array,
+    batch_size: int = 1,
+    pad_multiple: int = 128,
+) -> Dict[int, str]:
+    """Write per-sequence stacked pred-pose arrays in the layout the VO
+    loader consumes: `pred_poses/{seq:02d}_fw.npy` / `_bw.npy`, indexed by
+    the pair's first frame id (≙ `save_pose` main.py:636-703 producing
+    what `KITTI_loader.py:121-125` reads).
+
+    `dataset` should be a KittiVODataset WITHOUT random augmentation.
+    """
+    from collections import defaultdict
+
+    acc: Dict[int, Dict[int, np.ndarray]] = defaultdict(dict)
+    nframes: Dict[int, int] = defaultdict(int)
+    for batch, chunk in _batched_pairs(
+        dataset, range(len(dataset)), batch_size, pad_multiple
+    ):
+        key, k1, k2 = jax.random.split(key, 3)
+        ref = jnp.asarray(batch["ref"])
+        tgt = jnp.asarray(batch["target"])
+        K = jnp.asarray(batch["intrinsics"])
+        pose_bw = np.asarray(pose_forward(ref, tgt, K, k1))
+        pose_fw = np.asarray(pose_forward(tgt, ref, K, k2))
+        for b, s in enumerate(chunk):
+            seq, fid1 = int(s["seq"]), int(s["frame_id1"])
+            acc[seq][fid1] = np.stack([pose_fw[b], pose_bw[b]])
+            nframes[seq] = max(nframes[seq], fid1 + 1)
+
+    out_dir = os.path.join(root, "pred_poses")
+    os.makedirs(out_dir, exist_ok=True)
+    written: Dict[int, str] = {}
+    for seq, by_frame in acc.items():
+        fw = np.zeros((nframes[seq], 3, 4), np.float32)
+        bw = np.zeros((nframes[seq], 3, 4), np.float32)
+        for fid, fb in by_frame.items():
+            fw[fid], bw[fid] = fb[0], fb[1]
+        np.save(os.path.join(out_dir, f"{seq:02d}_fw.npy"), fw)
+        np.save(os.path.join(out_dir, f"{seq:02d}_bw.npy"), bw)
+        written[seq] = out_dir
+    return written
+
+
+def save_raw_pred_poses(
+    dataset,
+    pose_forward: Callable,  # (ref, target, K, key) -> (B, 3, 4)
+    root: str,
+    key: jax.Array,
+    batch_size: int = 1,
+    pad_multiple: int = 128,
+) -> List[str]:
+    """Write per-frame [pose_fw; pose_bw] .npy files in the reference's
+    pred_poses_fb layout (image_02 -> pred_poses_fb, png -> npy;
+    ≙ `save_pose` main.py:686-692, read back by `KITTI_loader.py:359-366`
+    and our KittiRawDataset).
+
+    `dataset` should be a KittiRawDataset WITHOUT random augmentation
+    (pass random_offset=False, random_fw_bw=False so the saved pose
+    matches the deterministic -1 pair).
+    """
+    written: List[str] = []
+    for batch, chunk in _batched_pairs(
+        dataset, range(len(dataset)), batch_size, pad_multiple
+    ):
+        key, k1, k2 = jax.random.split(key, 3)
+        ref = jnp.asarray(batch["ref"])
+        tgt = jnp.asarray(batch["target"])
+        K = jnp.asarray(batch["intrinsics"])
+        pose_bw = np.asarray(pose_forward(ref, tgt, K, k1))
+        pose_fw = np.asarray(pose_forward(tgt, ref, K, k2))
+        for b, s in enumerate(chunk):
+            folder, frame = dataset.items[int(s["index"])][:2]
+            out_dir = os.path.join(root, folder, "pred_poses_fb")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"{int(frame):010d}.npy")
+            np.save(path, np.stack([pose_fw[b], pose_bw[b]]))
+            written.append(path)
+    return written
+
+
 def trajectory_from_saved(out_dir: str, seq: int) -> np.ndarray:
     """Chain saved backward poses of one sequence into a trajectory."""
     from deep_sfm_revisited_tpu.train.odometry import chain_poses

@@ -108,10 +108,19 @@ def create_train_state(
                     jnp.float32),
         (b, 3, 3),
     )
-    # jitted init (one compiled program instead of op-by-op dispatch)
+    # jitted init (one compiled program instead of op-by-op dispatch);
+    # dummy poses so the GT-pose / presaved-pose paths trace too
+    pose0 = jnp.broadcast_to(
+        jnp.concatenate(
+            [jnp.eye(3, dtype=jnp.float32),
+             jnp.asarray([[0.0], [0.0], [1.0]], jnp.float32)], axis=1
+        ),
+        (b, 3, 4),
+    )
     variables = jax.jit(
-        lambda d, k: model.init(rng, d, d, k, key=jax.random.PRNGKey(0))
-    )(dummy, K)
+        lambda d, k, p: model.init(rng, d, d, k, pose_gt=p, pred_pose=p,
+                                   key=jax.random.PRNGKey(0))
+    )(dummy, K, pose0)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = build_optimizer(cfg, steps_per_epoch)
@@ -145,6 +154,7 @@ def make_train_step(model: SFMNet, cfg: SfMConfig):
             batch["target"],
             batch["intrinsics"],
             pose_gt=batch.get("pose_gt"),
+            pred_pose=batch.get("pred_pose"),
             use_gt_pose=cfg.use_gt_pose,
             train=True,
             key=key,
@@ -167,9 +177,30 @@ def make_train_step(model: SFMNet, cfg: SfMConfig):
         if not t.fix_flownet and out.get("flow_all") is not None and (
             "flow_gt" in batch
         ):
-            fl = flow_sequence_loss(
-                out["flow_all"], batch["flow_gt"], batch.get("flow_valid")
-            )
+            valid = batch.get("flow_valid")
+            preds = out["flow_all"]
+            if cfg.flow.estimator == "DICL":
+                # DICL's stack is per-LEVEL (coarse->fine, (raw, refined)
+                # pairs), not per-iteration: the reference supervises it
+                # with MultiScale_W weights + VALID_RANGE gates
+                # (loss_functions.py:15-62, cfgs/kitti.yml), not RAFT's
+                # gamma-weighted sequence loss
+                from deep_sfm_revisited_tpu.train.flow_trainer import (
+                    DICL_LEVEL_WEIGHTS,
+                    DICL_VALID_RANGE,
+                )
+                from deep_sfm_revisited_tpu.train.losses import (
+                    multiscale_flow_loss,
+                )
+
+                L = preds.shape[0]
+                fl = multiscale_flow_loss(
+                    list(preds), batch["flow_gt"],
+                    DICL_LEVEL_WEIGHTS[:L][::-1], valid,
+                    valid_range=DICL_VALID_RANGE[:L][::-1],
+                )
+            else:
+                fl = flow_sequence_loss(preds, batch["flow_gt"], valid)
             loss = loss + fl
             aux = dict(aux, flow_loss=fl)
         return loss, (aux, mutated["batch_stats"])
@@ -202,6 +233,7 @@ def make_eval_step(model: SFMNet, cfg: SfMConfig):
             batch["target"],
             batch["intrinsics"],
             pose_gt=batch.get("pose_gt"),
+            pred_pose=batch.get("pred_pose"),
             use_gt_pose=cfg.use_gt_pose,
             train=False,
             key=key,
@@ -213,7 +245,8 @@ def make_eval_step(model: SFMNet, cfg: SfMConfig):
             scale = jnp.linalg.norm(batch["pose_gt"][:, :3, 3], axis=-1)
             depth = depth * (scale / t.norm_target)[:, None, None]
         metrics = evaluate_depth(
-            depth, batch["depth_gt"], nlabel=d.nlabel, min_depth=d.min_depth
+            depth, batch["depth_gt"], nlabel=d.nlabel, min_depth=d.min_depth,
+            raw_hw=batch.get("raw_hw"),
         )
         return metrics, out
 

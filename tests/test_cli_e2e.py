@@ -68,6 +68,39 @@ def test_cli_train_validate_restore(mini_vo_root, tmp_path):
     assert np.isfinite(res["abs_rel"])
 
 
+@pytest.mark.heavy
+def test_cli_pose_workloads_and_presaved_training(mini_vo_root, tmp_path):
+    """--record-pose, then --save-pose, then a training run consuming the
+    saved poses with pred_pose_online=False — the reference's two-stage
+    odometry/depth workload through the CLI (≙ main.py:504-530,636-703 +
+    KITTI_loader.py:121-125)."""
+    import numpy as np
+
+    from deep_sfm_revisited_tpu.cli import main
+
+    res = main([
+        "--data", mini_vo_root, "--dataset", "kitti_vo", "--record-pose",
+        "--workers", "2", *TINY,
+    ])
+    assert np.isfinite(res["rot_err"])
+
+    written = main([
+        "--data", mini_vo_root, "--dataset", "kitti_vo", "--save-pose",
+        "--workers", "2", *TINY,
+    ])
+    assert os.path.exists(
+        os.path.join(mini_vo_root, "pred_poses", "09_bw.npy"))
+
+    out = str(tmp_path / "out2")
+    main([
+        "--data", mini_vo_root, "--dataset", "kitti_vo", "-b", "2",
+        "--epochs", "1", "--out", out, "--workers", "2",
+        *TINY, "data.train_size=(48,80)", "train.print_freq=1",
+        "pred_pose_online=False",
+    ])
+    assert "model_best" in os.listdir(os.path.join(out, "default", "ckpt"))
+
+
 def test_shipped_kitti_yaml_parses():
     """The shipped cfgs/kitti.yaml must load onto SfMConfig and carry the
     reference recipe's key knobs (cfgs/kitti.yml of the reference)."""

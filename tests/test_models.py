@@ -204,7 +204,7 @@ def test_sfmnet_differentiable_pose_gradient_reaches_flow():
     unwired bilevel machinery)."""
     import __graft_entry__ as g
 
-    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64).override(
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT").override(
         **{"pose.differentiable": True}
     )
     m = SFMNet(cfg)

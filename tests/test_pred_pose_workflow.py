@@ -1,0 +1,204 @@
+"""Presaved-pose workload e2e: save poses -> reload via the dataset ->
+train depth on them (the reference's two-stage recipe: `save_pose`
+main.py:636-703 writes, `KITTI_loader.py:121-125,231-237,359-366` read,
+`models/SFMnet.py:139-141` consumes with PRED_POSE_ONLINE=False)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_sfm_revisited_tpu.config import SfMConfig
+
+TINY = {
+    "flow.raft_iters_train": 2,
+    "flow.raft_iters_eval": 2,
+    "depth.nlabel": 8,
+    "pose.num_hypotheses": 8,
+    "pose.ransac_iter": 1,
+    "pose.num_correspondences": 64,
+    "pose.polish_iters": 2,
+    "data.pad_multiple": 16,
+}
+
+
+@pytest.fixture(scope="module")
+def vo_root(tmp_path_factory):
+    from imageio.v2 import imwrite
+
+    root = tmp_path_factory.mktemp("kitti_vo_pred")
+    rng = np.random.default_rng(0)
+    for seq in (9,):
+        img_dir = root / "sequences" / f"{seq:02d}" / "image_2"
+        os.makedirs(img_dir)
+        os.makedirs(root / "poses", exist_ok=True)
+        poses = []
+        for i in range(4):
+            imwrite(img_dir / f"{i:06d}.png",
+                    rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+            pose = np.concatenate(
+                [np.eye(3), [[0.05 * i], [0.0], [0.6 * i]]], axis=1
+            )
+            poses.append(pose.reshape(-1))
+        np.savetxt(root / "poses" / f"{seq:02d}.txt", np.stack(poses))
+        with open(root / "sequences" / f"{seq:02d}" / "calib.txt", "w") as f:
+            f.write("P2: 70 0 48 0 0 70 32 0 0 0 1 0\n")
+    return str(root)
+
+
+def _stub_pose_forward(ref, target, K, key):
+    """Deterministic fake pose net: identity R, translation derived from
+    the mean image brightness difference (so fw != bw)."""
+    d = jnp.mean(ref - target, axis=(1, 2, 3))
+    t = jnp.stack([d, d * 0 + 0.1, d * 0 + 1.0], axis=-1)
+    R = jnp.broadcast_to(jnp.eye(3), (ref.shape[0], 3, 3))
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def test_save_reload_vo_pred_poses(vo_root):
+    from deep_sfm_revisited_tpu.data.kitti import KittiVODataset
+    from deep_sfm_revisited_tpu.train.pose_eval import save_vo_pred_poses
+
+    ds = KittiVODataset(vo_root, train=False)
+    written = save_vo_pred_poses(
+        ds, _stub_pose_forward, vo_root, jax.random.PRNGKey(0)
+    )
+    assert 9 in written
+    assert os.path.exists(os.path.join(vo_root, "pred_poses", "09_fw.npy"))
+    assert os.path.exists(os.path.join(vo_root, "pred_poses", "09_bw.npy"))
+
+    # reload: dataset must surface the saved poses, not zeros
+    ds2 = KittiVODataset(vo_root, train=False)
+    s = ds2[0]
+    assert s["pred_pose"].shape == (3, 4)
+    assert np.any(s["pred_pose"] != 0)
+    # round-trip: the stored bw pose for this pair's first frame
+    bw = np.load(os.path.join(vo_root, "pred_poses", "09_bw.npy"))
+    np.testing.assert_allclose(s["pred_pose"], bw[s["frame_id1"]])
+
+
+def test_sfmnet_consumes_pred_pose_not_gt():
+    """PRED_POSE_ONLINE=False conditions depth on pred_pose
+    (models/SFMnet.py:139-141) — round-1 silently used pose_gt."""
+    from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+
+    cfg = SfMConfig().override(**TINY, pred_pose_online=False)
+    model = SFMNet(cfg, dtype=jnp.float32)
+    b, h, w = 1, 32, 48
+    ref = jnp.zeros((b, h, w, 3))
+    target = jnp.ones((b, h, w, 3)) * 0.1
+    K = jnp.broadcast_to(
+        jnp.asarray([[40.0, 0, 24], [0, 40.0, 16], [0, 0, 1]]), (b, 3, 3))
+    pose_gt = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3), (b, 3, 3)),
+         jnp.asarray([[[9.0], [9.0], [9.0]]])], axis=-1)
+    pred_pose = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3), (b, 3, 3)),
+         jnp.asarray([[[0.3], [0.0], [1.0]]])], axis=-1)
+
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), ref, target, K,
+                           pose_gt=pose_gt, pred_pose=pred_pose,
+                           key=jax.random.PRNGKey(1))
+    )()
+    out = jax.jit(
+        lambda v: model.apply(v, ref, target, K, pose_gt=pose_gt,
+                              pred_pose=pred_pose,
+                              key=jax.random.PRNGKey(1))
+    )(variables)
+    np.testing.assert_allclose(np.asarray(out["pose"]),
+                               np.asarray(pred_pose), atol=1e-6)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+    # without a pred_pose input the path must refuse, not fall back to GT
+    with pytest.raises(AssertionError):
+        model.apply(variables, ref, target, K, pose_gt=pose_gt,
+                    key=jax.random.PRNGKey(1))
+
+
+def test_pred_pose_training_step_e2e(vo_root):
+    """save -> reload -> one depth-training step on the saved poses."""
+    from deep_sfm_revisited_tpu.data.kitti import KittiVODataset
+    from deep_sfm_revisited_tpu.data.loader import BatchLoader
+    from deep_sfm_revisited_tpu.data.transforms import Compose, Normalize
+    from deep_sfm_revisited_tpu.train.pose_eval import save_vo_pred_poses
+    from deep_sfm_revisited_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    save_vo_pred_poses(
+        KittiVODataset(vo_root, train=False),
+        _stub_pose_forward, vo_root, jax.random.PRNGKey(0),
+    )
+    ds = KittiVODataset(vo_root, train=False,
+                        transform=Compose([Normalize()]))
+    loader = BatchLoader(ds, 2, shuffle=False, workers=1, pad_multiple=16)
+    batch = next(iter(loader))
+    assert np.any(batch["pred_pose"] != 0)
+
+    cfg = SfMConfig().override(**TINY, pred_pose_online=False)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_shape=(2, 64, 96))
+    model = None  # make_train_step takes the model; rebuild
+    from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+
+    model = SFMNet(cfg, dtype=jnp.bfloat16)
+    step = make_train_step(model, cfg)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"}
+    state, metrics = step(state, dev_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.fixture(scope="module")
+def raw_root(tmp_path_factory):
+    from imageio.v2 import imwrite
+
+    root = tmp_path_factory.mktemp("kitti_raw_pred")
+    date, drive = "2011_09_26", "2011_09_26_drive_0001_sync"
+    folder = f"{date}/{drive}"
+    img_dir = root / folder / "image_02" / "data"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(1)
+    n = 4
+    for i in range(n):
+        imwrite(img_dir / f"{i:010d}.png",
+                rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    with open(root / "test_files.txt", "w") as f:
+        for i in range(1, n):
+            f.write(f"{folder} {i:010d} l\n")
+    # precomputed calib/pose dicts (the reference's required .npy inputs)
+    K = np.asarray([[70.0, 0, 48, 0], [0, 70.0, 32, 0], [0, 0, 1, 0]])
+    np.save(root / "kitti_raw_calib_dict.npy", {date: K},
+            allow_pickle=True)
+    poses = np.stack([
+        np.concatenate([np.eye(3), [[0.1 * i], [0], [0.5 * i]]], axis=1)
+        for i in range(n)
+    ])
+    poses4 = np.concatenate(
+        [poses, np.broadcast_to([[0, 0, 0, 1.0]], (n, 1, 4))], axis=1)
+    np.save(root / "kitti_raw_pose_dict.npy", {drive: poses4},
+            allow_pickle=True)
+    return str(root)
+
+
+def test_save_reload_raw_pred_poses(raw_root):
+    from deep_sfm_revisited_tpu.data.kitti import KittiRawDataset
+    from deep_sfm_revisited_tpu.train.pose_eval import save_raw_pred_poses
+
+    ds = KittiRawDataset(raw_root, train=False)
+    written = save_raw_pred_poses(
+        ds, _stub_pose_forward, raw_root, jax.random.PRNGKey(0)
+    )
+    assert len(written) == len(ds)
+    assert all("pred_poses_fb" in p for p in written)
+
+    ds2 = KittiRawDataset(raw_root, train=False)
+    s = ds2[0]
+    assert np.any(s["pred_pose"] != 0)
+    fb = np.load(written[0])
+    np.testing.assert_allclose(s["pred_pose"], fb[1])
+    np.testing.assert_allclose(s["pred_pose_fw"], fb[0])

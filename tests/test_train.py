@@ -132,7 +132,7 @@ def test_train_step_descends_and_freezes_flow():
     )
     import __graft_entry__ as g
 
-    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64)
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
     model, state = create_train_state(
         cfg, jax.random.PRNGKey(0), sample_shape=(2, 64, 96),
         steps_per_epoch=10,
@@ -164,7 +164,7 @@ def test_checkpoint_roundtrip(tmp_path):
     from deep_sfm_revisited_tpu.train.trainer import create_train_state
     import __graft_entry__ as g
 
-    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64)
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
     _, state = create_train_state(
         cfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 96),
         steps_per_epoch=10,
