@@ -21,9 +21,16 @@ def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Join the multi-host job (env-driven on TPU pods; explicit args for
-    manual setups). Safe to call single-host (no-op)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    manual setups). Safe to call single-host (no-op).
+
+    MUST run before anything touches the XLA backend — in particular it
+    must not itself call jax.devices()/process_count() first (that
+    initializes the backend and jax.distributed.initialize then refuses;
+    caught by tests/test_multihost.py)."""
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already joined a distributed job
     if coordinator is None and num_processes is None:
         try:
             jax.distributed.initialize()
