@@ -229,24 +229,41 @@ class MotionEncoder(nn.Module):
 
 
 class UpdateBlock(nn.Module):
-    """GRU update + flow head + upsample mask head (≙ `update.py:115`)."""
+    """GRU update + flow head + upsample mask head (≙ `update.py:115`).
+
+    Submodule names are EXPLICIT and frozen (Conv_0/1/2, MotionEncoder_0,
+    SepConvGRU_0 — the auto-names of the original single-path body) so the
+    mask_only eval path below cannot silently renumber the param tree and
+    break checkpoints / torch-ported weights.
+
+    `mask_only=True` computes just the upsample mask from a given hidden
+    state: at eval only the FINAL iteration's mask feeds the convex
+    upsample, so the scan skips the 576-out mask conv (and the stacked
+    mask ys) and the mask is recovered once from the final carry.
+    """
 
     hidden: int = 128
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow):
+    def __call__(self, net, inp=None, corr=None, flow=None,
+                 need_mask: bool = True, mask_only: bool = False):
         d = self.dtype
-        motion = MotionEncoder(dtype=d)(flow, corr)
-        x = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(self.hidden, d)(net, x)
         # the flow and mask heads' first 3x3 convs both read `net`: fused
         # into one 512-out conv (kernel = flow|mask kernels along Cout)
-        heads = nn.Conv(512, (3, 3), padding=1, dtype=d)(net)
-        dflow = nn.Conv(2, (3, 3), padding=1, dtype=d)(
-            nn.relu(heads[..., :256]))
-        mask = nn.Conv(64 * 9, (1, 1), dtype=d)(
-            nn.relu(heads[..., 256:])) * 0.25
+        heads_conv = nn.Conv(512, (3, 3), padding=1, dtype=d, name="Conv_0")
+        flow_conv = nn.Conv(2, (3, 3), padding=1, dtype=d, name="Conv_1")
+        mask_conv = nn.Conv(64 * 9, (1, 1), dtype=d, name="Conv_2")
+        if mask_only:
+            heads = heads_conv(net)
+            return mask_conv(nn.relu(heads[..., 256:])) * 0.25
+        motion = MotionEncoder(dtype=d, name="MotionEncoder_0")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden, d, name="SepConvGRU_0")(net, x)
+        heads = heads_conv(net)
+        dflow = flow_conv(nn.relu(heads[..., :256]))
+        mask = (mask_conv(nn.relu(heads[..., 256:])) * 0.25
+                if need_mask else None)
         return net, mask, dflow
 
 
@@ -336,12 +353,13 @@ class RAFT(nn.Module):
                 pyramid, coords1, cfg.raft_corr_radius
             ).astype(d)
             flow = (coords1 - coords0).astype(d)
-            net, mask, dflow = update_mod(net, inp, corr, flow)
+            net, mask, dflow = update_mod(net, inp, corr, flow,
+                                          need_mask=all_iters)
             coords1 = coords1 + dflow.astype(jnp.float32)
-            return (net, coords1), (
-                coords1 - coords0,
-                mask.astype(jnp.float32),
-            )
+            ys = (coords1 - coords0,)
+            if all_iters:
+                ys = ys + (mask.astype(jnp.float32),)
+            return (net, coords1), ys
 
         scan = nn.scan(
             step,
@@ -349,11 +367,14 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             length=iters,
         )
-        (_, _), (flows_lr, masks) = scan(update, (net, coords0), None)
-
         if all_iters:
+            (_, _), (flows_lr, masks) = scan(update, (net, coords0), None)
             # full-res supervision stack (training): upsample every iter
             flows = jax.vmap(convex_upsample)(flows_lr, masks)
             return flows, None  # (iters, B, H, W, 2)
-        # eval: only the final prediction needs the full-res upsample
-        return convex_upsample(flows_lr[-1], masks[-1]), None
+        # eval: only the final prediction needs the full-res upsample, and
+        # only the final mask is ever used — skip the mask conv inside the
+        # scan and recover it once from the final hidden state
+        (net_f, coords1_f), _ = scan(update, (net, coords0), None)
+        mask_f = update(net_f, mask_only=True).astype(jnp.float32)
+        return convex_upsample(coords1_f - coords0, mask_f), None
