@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deep_sfm_revisited_tpu.ops.rotations import invert_pose
 from deep_sfm_revisited_tpu.train.metrics import motion_errors
 
 
@@ -73,9 +72,13 @@ def save_sequence_poses(
         for b in range(pose_bw.shape[0]):
             seq = batch.get("seq")
             fid = batch.get("frame_id")
+            fid1 = batch.get("frame_id1")
+            # name by BOTH frame ids: sequence-boundary fallback pairs
+            # (j = i - skip) would otherwise collide with the forward
+            # pair ending at the same frame, corrupting the chain
             name = (
-                f"{int(seq[b]):02d}_{int(fid[b]):06d}.npy"
-                if seq is not None and fid is not None
+                f"{int(seq[b]):02d}_{int(fid1[b]):06d}_{int(fid[b]):06d}.npy"
+                if seq is not None and fid is not None and fid1 is not None
                 else f"{len(written):06d}.npy"
             )
             path = os.path.join(out_dir, name)
@@ -178,13 +181,32 @@ def save_raw_pred_poses(
 
 
 def trajectory_from_saved(out_dir: str, seq: int) -> np.ndarray:
-    """Chain saved backward poses of one sequence into a trajectory."""
+    """Chain saved backward poses of one sequence into cam-to-world poses.
+
+    Each saved pair file `{seq}_{i}_{j}.npy` (j = i + skip) holds
+    [pose_fw; pose_bw] with pose_bw the frame-j -> frame-i COORDINATE
+    transform, i.e. exactly the "pose of the later camera expressed in
+    the earlier one" that `chain_poses` integrates — no inversion.
+    Sequence-boundary fallback pairs (j < i) are excluded: they duplicate
+    an existing link in reversed orientation.
+    """
     from deep_sfm_revisited_tpu.train.odometry import chain_poses
 
-    files = sorted(
-        f for f in os.listdir(out_dir) if f.startswith(f"{seq:02d}_")
-    )
-    rel = np.stack([np.load(os.path.join(out_dir, f))[1] for f in files])
-    # pose_bw maps ref(t) -> target(t-1); cam_t-to-cam_{t-1} = its inverse
-    rel_c2p = np.asarray(invert_pose(jnp.asarray(rel)))
-    return np.asarray(chain_poses(jnp.asarray(rel_c2p)))
+    links = {}
+    for f in sorted(os.listdir(out_dir)):
+        if not (f.startswith(f"{seq:02d}_") and f.endswith(".npy")):
+            continue
+        parts = f[:-4].split("_")
+        if len(parts) != 3:
+            continue
+        i, j = int(parts[1]), int(parts[2])
+        if j > i:
+            links[i] = (j, np.load(os.path.join(out_dir, f))[1])
+    rels = []
+    t = min(links) if links else 0
+    while t in links:
+        j, bw = links[t]
+        rels.append(bw)
+        t = j
+    rel = np.stack(rels)
+    return np.asarray(chain_poses(jnp.asarray(rel)))

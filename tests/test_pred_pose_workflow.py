@@ -153,6 +153,52 @@ def test_pred_pose_training_step_e2e(vo_root):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_odometry_smoke_saved_poses_to_ate(vo_root, tmp_path):
+    """Chain saved per-pair poses into a trajectory and score ATE vs the
+    GT trajectory — the reference outsources this to kitti-odom-eval
+    (README.md:69-71); here it is in-framework end-to-end."""
+    from deep_sfm_revisited_tpu.data.kitti import (
+        KittiVODataset,
+        compute_delta_rt,
+        load_vo_poses,
+    )
+    from deep_sfm_revisited_tpu.data.loader import BatchLoader
+    from deep_sfm_revisited_tpu.train.odometry import ate_rmse
+    from deep_sfm_revisited_tpu.train.pose_eval import (
+        save_sequence_poses,
+        trajectory_from_saved,
+    )
+
+    gt_poses = load_vo_poses(os.path.join(vo_root, "poses", "09.txt"))
+
+    # oracle pose net: returns the exact GT relative pose per pair
+    ds = KittiVODataset(vo_root, train=False)
+    loader = BatchLoader(ds, 1, shuffle=False, workers=1, pad_multiple=16,
+                         drop_last=False)
+
+    class OracleFwd:
+        def __init__(self):
+            self.i = 0
+
+        def __call__(self, ref, tgt, K, key):
+            # called twice per batch (bw then fw); derive pair from order
+            idx = self.i // 2
+            bw_call = self.i % 2 == 0
+            self.i += 1
+            i, j = ds._pair_index(idx)
+            a, b = (j, i) if bw_call else (i, j)
+            rel = compute_delta_rt(gt_poses[b], gt_poses[a])
+            return jnp.asarray(rel)[None]
+
+    out_dir = str(tmp_path / "poses")
+    save_sequence_poses(loader, OracleFwd(), out_dir, jax.random.PRNGKey(0))
+    traj = trajectory_from_saved(out_dir, seq=9)
+    n = traj.shape[0]
+    gt_traj = gt_poses[:n]
+    err = float(ate_rmse(jnp.asarray(traj), jnp.asarray(gt_traj)))
+    assert err < 1e-4, err  # oracle poses -> ~zero ATE
+
+
 @pytest.fixture(scope="module")
 def raw_root(tmp_path_factory):
     from imageio.v2 import imwrite
