@@ -43,6 +43,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference .pth.tar checkpoint to port "
                         "(utils/torch_port; ≙ main.py:200-242 loading)")
     p.add_argument("--gt-depth-dir", default=None)
+    p.add_argument("--train-flow", action="store_true",
+                   help="flow-pretraining mode over a flow benchmark "
+                        "(the reference's cfg.TRAIN_FLOW path whose "
+                        "flow_training module is missing upstream, "
+                        "SURVEY.md §2.8)")
+    p.add_argument("--flow-dataset", default="kitti",
+                   choices=["chairs", "things", "sintel", "kitti", "hd1k"])
+    p.add_argument("--flow-crop", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="override the flow augmentor crop size")
     p.add_argument("--record-pose", action="store_true",
                    help="evaluate pose errors only (≙ cfg.RECORD_POSE "
                         "branch of validate, main.py:504-530)")
@@ -223,9 +233,58 @@ def make_pose_forward(cfg, state):
     return fwd
 
 
+def build_flow_dataset(name: str, root: str, augment: bool, crop=None):
+    from deep_sfm_revisited_tpu.data import flow_datasets as fd
+
+    kw = {"augment": augment}
+    if crop is not None:
+        kw["crop_size"] = tuple(crop)
+    builders = {
+        "chairs": lambda: fd.FlyingChairs(root, **kw),
+        "things": lambda: fd.FlyingThings3D(root, **kw),
+        "sintel": lambda: fd.MpiSintel(root, **kw),
+        "kitti": lambda: fd.KITTIFlow(root, **kw),
+        "hd1k": lambda: fd.HD1K(root, **kw),
+    }
+    return builders[name]()
+
+
+def train_flow_main(args, cfg):
+    """Flow-pretraining driver branch (≙ the missing train_flow module)."""
+    import jax.numpy as jnp
+
+    from deep_sfm_revisited_tpu.data.loader import BatchLoader
+    from deep_sfm_revisited_tpu.train.flow_trainer import flow_fit
+
+    train_ds = build_flow_dataset(args.flow_dataset, args.data,
+                                  augment=True, crop=args.flow_crop)
+    val_ds = build_flow_dataset(args.flow_dataset, args.data,
+                                augment=False)
+    pad = 128 if cfg.flow.estimator == "DICL" else 8
+    loader = BatchLoader(
+        train_ds, cfg.train.batch_size, workers=cfg.data.workers,
+        pad_multiple=pad, seed=cfg.train.seed,
+    )
+    sample = train_ds.__getitem__(0)
+    h, w = sample["ref"].shape[:2]
+    h = -(-h // pad) * pad
+    w = -(-w // pad) * pad
+    dtype = jnp.bfloat16 if cfg.train.mixed_prec else jnp.float32
+    out = f"{args.out}/{cfg.tag}_flow"
+    return flow_fit(
+        cfg.flow, loader, out,
+        sample_shape=(cfg.train.batch_size, h, w),
+        val_dataset=val_ds,
+        lr=cfg.train.lr, epochs=cfg.train.epochs, seed=cfg.train.seed,
+        dtype=dtype, eval_pad_multiple=pad,
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    if args.train_flow:
+        return train_flow_main(args, cfg)
     train_loader, val_loader = build_loaders(cfg, args)
 
     import jax

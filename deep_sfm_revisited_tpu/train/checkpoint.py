@@ -97,20 +97,38 @@ def restore_subtree(
     """Merge one stored params sub-tree (e.g. 'flow_net' or 'depth_net')
     into `state`, leaving everything else untouched — the partial-load
     path of `--pretrained-flow` / `--pretrained-depth`
-    (≙ main.py:222-242, incl. its prefix-stripping shim)."""
+    (≙ main.py:222-242, incl. its prefix-stripping shim).
+
+    Accepts BOTH checkpoint layouts: a full SfM composite checkpoint
+    (params contain the named subtree) and a standalone net checkpoint
+    written by the flow-pretraining driver (params ARE the subtree) — the
+    analog of the reference's `flow_estimator.`-prefix-strip shim
+    (main.py:226-233)."""
     mgr = _mgr(directory)
     epoch = epoch if epoch is not None else mgr.latest_step()
-    target = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": state.step,
-    }
-    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(target))
+    if epoch is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    # raw (target-free) restore: the stored tree may be a standalone net
+    # whose structure differs from the composite state
+    restored = mgr.restore(epoch, args=ocp.args.StandardRestore())
+    rp = restored["params"]
+    rs = restored.get("batch_stats", {}) or {}
+    if subtree in rp:
+        sub_params, sub_stats = rp[subtree], rs.get(subtree)
+    else:
+        sub_params, sub_stats = rp, (rs if rs else None)
+
+    import jax.numpy as jnp
+
+    def _like(stored, current):
+        return jax.tree_util.tree_map(
+            lambda s, c: jnp.asarray(s, dtype=c.dtype), stored, current
+        )
+
     params = dict(state.params)
-    params[subtree] = restored["params"][subtree]
+    params[subtree] = _like(sub_params, state.params[subtree])
     stats = dict(state.batch_stats)
-    if subtree in restored["batch_stats"]:
-        stats[subtree] = restored["batch_stats"][subtree]
+    if sub_stats is not None and subtree in state.batch_stats:
+        stats[subtree] = _like(sub_stats, state.batch_stats[subtree])
     return state.replace(params=type(state.params)(params),
                          batch_stats=type(state.batch_stats)(stats))

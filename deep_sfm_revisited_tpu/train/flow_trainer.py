@@ -128,3 +128,87 @@ def make_flow_train_step(model, cfg: FlowConfig, gamma: float = 0.8):
         return state, {"loss": loss, "epe": epe}
 
     return step
+
+
+def flow_fit(
+    cfg: FlowConfig,
+    train_loader,
+    out_dir: str,
+    sample_shape: Tuple[int, int, int],
+    val_dataset=None,
+    lr: float = 4e-4,
+    epochs: int = 1,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    eval_pad_multiple: int = 64,
+    eval_max_items: int | None = None,
+):
+    """Flow-pretraining driver: the runnable version of the reference's
+    MISSING `flow_training.train_flow` module (`main.py:251` imports it
+    lazily; the file does not exist — SURVEY.md §2.8). Epoch loop over a
+    BatchLoader of flow samples (data/flow_datasets.py), per-epoch Orbax
+    checkpoints with best-EPE tracking, optional EPE/F1 validation
+    (train/flow_eval.py). The resulting checkpoint drops into the SfM
+    composite via the CLI's --pretrained-flow subtree restore.
+    """
+    import os
+
+    import numpy as np
+
+    from deep_sfm_revisited_tpu.train.checkpoint import save_checkpoint
+    from deep_sfm_revisited_tpu.utils.logging import (
+        AverageMeter,
+        MetricLogger,
+        create_logger,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    logger = create_logger(out_dir, "flow")
+    mlog = MetricLogger(out_dir, "flow_train")
+
+    steps_total = max(len(train_loader) * epochs, 1)
+    model, state = create_flow_state(
+        cfg, jax.random.PRNGKey(seed), sample_shape, lr=lr,
+        total_steps=steps_total, dtype=dtype,
+    )
+    step_fn = make_flow_train_step(model, cfg)
+
+    best = np.inf
+    for epoch in range(epochs):
+        losses = AverageMeter()
+        for i, host_batch in enumerate(train_loader):
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                     if hasattr(v, "dtype") and v.dtype.kind in "biufc"}
+            state, metrics = step_fn(state, batch)
+            loss = float(metrics["loss"])
+            losses.update(loss, n=host_batch["ref"].shape[0])
+            mlog.scalars({k: float(v) for k, v in metrics.items()},
+                         int(state.step))
+        metric = losses.avg
+        if val_dataset is not None:
+            from deep_sfm_revisited_tpu.train.flow_eval import (
+                evaluate_flow_dataset,
+            )
+
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+
+            @jax.jit
+            def fwd(pair):
+                flow, _ = model.apply(variables, pair, train=False)
+                return flow
+
+            res = evaluate_flow_dataset(
+                fwd, val_dataset, pad_multiple=eval_pad_multiple,
+                max_items=eval_max_items,
+            )
+            logger.info(f"epoch {epoch}: loss {losses.avg:.4f} "
+                        f"epe {res['epe']:.4f} f1 {res['f1_all']:.2f}")
+            metric = res["epe"]
+        else:
+            logger.info(f"epoch {epoch}: loss {losses.avg:.4f}")
+        is_best = metric < best
+        best = min(metric, best)
+        save_checkpoint(os.path.join(out_dir, "ckpt"), state, epoch,
+                        is_best)
+    return model, state
