@@ -137,10 +137,13 @@ def test_trainer_dicl_branch_uses_multiscale_loss():
         multiscale_flow_loss,
     )
 
+    # f32: under bf16 the grad-enabled compile and the plain apply fuse
+    # differently and the forwards drift ~0.6% — too noisy to compare
+    # loss scalars at the tolerance that separates the two loss forms
     cfg = SfMConfig().override(
         **TINY,
         **{"flow.estimator": "DICL", "train.fix_flownet": False,
-           "use_gt_pose": True},
+           "train.mixed_prec": False},
     )
     b, h, w = 1, 128, 128
     model, state = create_train_state(cfg, jax.random.PRNGKey(0),
@@ -149,17 +152,19 @@ def test_trainer_dicl_branch_uses_multiscale_loss():
     batch["flow_gt"] = jax.random.uniform(
         jax.random.PRNGKey(5), (b, h, w, 2), jnp.float32, -3, 3)
 
-    step = make_train_step(model, cfg)
-    _, metrics = step(state, batch, jax.random.PRNGKey(1))
-    assert "flow_loss" in metrics
-
     # recompute the expected multiscale loss from the model's own stack
+    # BEFORE the train step: the step donates the state, so its buffers
+    # are dead afterwards
     out = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         batch["ref"], batch["target"], batch["intrinsics"],
         pose_gt=batch["pose_gt"], use_gt_pose=False, train=True,
         key=jax.random.PRNGKey(1), mutable=["batch_stats"],
     )[0]
+
+    step = make_train_step(model, cfg)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert "flow_loss" in metrics
     preds = out["flow_all"]
     L = preds.shape[0]
     want = multiscale_flow_loss(
