@@ -150,6 +150,8 @@ class DataConfig:
     random_offset: bool = True       # random -1/-2 pair offset
     kitti_697: bool = True           # Eigen 697-image split (KITTI_loader.py:283-301)
     eigen_sfm: bool = False
+    eval_protocol: str = "eigen"     # eigen | demon masking at validate
+                                     # (ref DEMON_DATASET branch, main.py:565-566)
     pad_multiple: int = 128          # pad H,W to /128 (main.py:315-338)
     workers: int = 8
 
@@ -205,6 +207,8 @@ class SfMConfig:
     use_gt_pose: bool = False        # ref GT_POSE
     pred_pose_online: bool = True    # ref PRED_POSE_ONLINE
     record_pose: bool = False        # early-return pose path (models/SFMnet.py:157-158)
+    record_pose_eval: bool = False   # pose early-return at EVAL only
+                                     # (ref RECORD_POSE_EVAL, lib/config.py:149)
 
     @staticmethod
     def kitti(nlabel: int = 128) -> "SfMConfig":

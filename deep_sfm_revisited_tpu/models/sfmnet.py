@@ -184,7 +184,8 @@ class SFMNet(nn.Module):
                 scale = jnp.linalg.norm(pose_gt[:, :3, 3], axis=-1)
                 pose = pose.at[:, :3, 3].multiply(scale[:, None])
 
-        if cfg.record_pose:
+        if cfg.record_pose or (cfg.record_pose_eval and not train):
+            # early-return pose path (≙ models/SFMnet.py:157-158)
             return {"pose": pose, "flow": flow}
 
         depth_init, depth = self.depth_net(

@@ -65,6 +65,22 @@ def eigen_crop_mask(
     return valid & crop & in_raw
 
 
+def demon_mask(depth_gt: jnp.ndarray, raw_hw: jnp.ndarray | None = None) -> jnp.ndarray:
+    """DeMoN-protocol validity mask: 0.5 <= d <= 10 m, finite, NO crop
+    window (≙ the DEMON_DATASET branch of validate, `main.py:565-566`).
+    Padded rows/cols (gt = 0) fail the lower bound; `raw_hw` additionally
+    hard-masks them for safety with nonzero-padded GT."""
+    b, h, w = depth_gt.shape
+    valid = (
+        (depth_gt >= 0.5) & (depth_gt <= 10.0) & jnp.isfinite(depth_gt)
+    )
+    if raw_hw is not None:
+        ys = jnp.arange(h)[None, :, None]
+        xs = jnp.arange(w)[None, None, :]
+        valid = valid & (ys < raw_hw[:, :1, None]) & (xs < raw_hw[:, 1:, None])
+    return valid
+
+
 def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median of masked entries of a 1-D slice (fixed-shape via sorting).
 
@@ -103,8 +119,11 @@ def depth_metrics(
 ) -> Dict[str, jnp.ndarray]:
     """The 9 depth metrics over masked pixels (≙ `main.py:727-747`)."""
     eps = 1e-12
-    g = jnp.maximum(gt, eps)
-    p = jnp.maximum(pred, eps)
+    # scrub masked-out entries BEFORE arithmetic: the reference indexes
+    # with the boolean mask (dropping e.g. NaN GT rows); a weighted mean
+    # would otherwise propagate NaN*0 = NaN into the sums
+    g = jnp.maximum(jnp.where(mask, gt, 1.0), eps)
+    p = jnp.maximum(jnp.where(mask, pred, 1.0), eps)
     thresh = jnp.maximum(g / p, p / g)
     log_d = jnp.log(g) - jnp.log(p)
     # scale_invariant (demon_metrics.py:130): sqrt(E[d^2] - E[d]^2) of log diffs
@@ -133,11 +152,17 @@ def evaluate_depth(
     max_depth: float = 80.0,
     median_scale: bool = True,
     raw_hw: jnp.ndarray | None = None,
+    protocol: str = "eigen",
 ) -> Dict[str, jnp.ndarray]:
-    """Full Eigen protocol: mask + median align + clamp + metrics
+    """Full eval protocol: mask + median align + clamp + metrics
     (≙ `validate`, main.py:560-630). `raw_hw` (B, 2) carries per-image
-    pre-pad sizes so padded inputs evaluate exactly as unpadded ones."""
-    mask = eigen_crop_mask(gt, max_depth, raw_hw=raw_hw)
+    pre-pad sizes so padded inputs evaluate exactly as unpadded ones.
+    `protocol`: "eigen" (KITTI crop window) or "demon" (0.5-10 m, no
+    crop; ≙ the DEMON_DATASET branch, main.py:565-566)."""
+    if protocol == "demon":
+        mask = demon_mask(gt, raw_hw=raw_hw)
+    else:
+        mask = eigen_crop_mask(gt, max_depth, raw_hw=raw_hw)
     if median_scale:
         pred = median_scale_align(pred, gt, mask)
     pred = jnp.clip(pred, min_depth, nlabel * min_depth)

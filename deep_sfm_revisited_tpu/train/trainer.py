@@ -246,7 +246,7 @@ def make_eval_step(model: SFMNet, cfg: SfMConfig):
             depth = depth * (scale / t.norm_target)[:, None, None]
         metrics = evaluate_depth(
             depth, batch["depth_gt"], nlabel=d.nlabel, min_depth=d.min_depth,
-            raw_hw=batch.get("raw_hw"),
+            raw_hw=batch.get("raw_hw"), protocol=cfg.data.eval_protocol,
         )
         return metrics, out
 

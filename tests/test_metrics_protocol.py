@@ -86,6 +86,65 @@ def test_padded_crop_window_not_shifted():
     assert (xs.min(), xs.max()) == (43, 1179)
 
 
+def test_demon_protocol_mask():
+    """DeMoN branch: 0.5 <= d <= 10 m, finite, NO Eigen crop
+    (≙ main.py:565-566)."""
+    from deep_sfm_revisited_tpu.train.metrics import demon_mask
+
+    gt = np.zeros((1, 8, 10), np.float32)
+    gt[0, 0, 0] = 0.4    # below range
+    gt[0, 0, 1] = 0.5    # inclusive lower bound
+    gt[0, 0, 2] = 10.0   # inclusive upper bound
+    gt[0, 0, 3] = 10.5   # above range
+    gt[0, 0, 4] = np.nan
+    gt[0, 7, 9] = 5.0    # corner INSIDE (no crop window in this protocol)
+    m = np.asarray(demon_mask(jnp.asarray(gt)))
+    assert not m[0, 0, 0] and m[0, 0, 1] and m[0, 0, 2]
+    assert not m[0, 0, 3] and not m[0, 0, 4]
+    assert m[0, 7, 9]
+
+    # raw_hw masks the padded band
+    m2 = np.asarray(demon_mask(jnp.asarray(gt),
+                               raw_hw=jnp.asarray([[7, 9]], jnp.int32)))
+    assert not m2[0, 7, 9]
+
+    res = evaluate_depth(jnp.asarray(gt) + 1.0, jnp.asarray(gt),
+                         nlabel=128, min_depth=0.5, protocol="demon")
+    assert np.isfinite(float(res["abs_rel"]))
+
+
+def test_record_pose_eval_early_return():
+    """RECORD_POSE_EVAL returns the pose early at eval but runs the full
+    pipeline in training (≙ models/SFMnet.py:157)."""
+    import jax
+
+    from deep_sfm_revisited_tpu.config import SfMConfig
+    from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+
+    cfg = SfMConfig().override(**{
+        "flow.raft_iters_train": 2, "flow.raft_iters_eval": 2,
+        "depth.nlabel": 8, "pose.num_hypotheses": 8,
+        "pose.ransac_iter": 1, "pose.num_correspondences": 64,
+        "pose.polish_iters": 2, "record_pose_eval": True,
+    })
+    model = SFMNet(cfg, dtype=jnp.float32)
+    b, h, w = 1, 32, 48
+    ref = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3))
+    tgt = jnp.roll(ref, 2, axis=2)
+    K = jnp.broadcast_to(
+        jnp.asarray([[40.0, 0, 24], [0, 40.0, 16], [0, 0, 1]]), (b, 3, 3))
+    v = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(1), ref, tgt, K, train=True,
+        key=jax.random.PRNGKey(2)))()
+    out_eval = model.apply(v, ref, tgt, K, train=False,
+                           key=jax.random.PRNGKey(2))
+    assert set(out_eval.keys()) == {"pose", "flow"}
+    out_train = model.apply(v, ref, tgt, K, train=True,
+                            key=jax.random.PRNGKey(2),
+                            mutable=["batch_stats"])[0]
+    assert "depth" in out_train
+
+
 def test_collate_zero_pads_gt_and_records_raw_hw():
     h, w = 370, 1224
     rng = np.random.default_rng(1)
