@@ -320,6 +320,34 @@ def main(argv=None):
                 val_loader, pose_on_batch, jax.random.PRNGKey(0)
             )
             print({k: round(v, 6) for k, v in results.items()})
+
+            if cfg.data.dataset == "kitti_vo":
+                # full odometry report: chain the predicted poses of the
+                # test sequences and score ATE / RPE / KITTI segment
+                # errors (≙ save_pose + external kitti-odom-eval,
+                # README.md:69-71 — here in-framework)
+                from deep_sfm_revisited_tpu.data import (
+                    Compose,
+                    KittiVODataset,
+                    Normalize,
+                )
+                from deep_sfm_revisited_tpu.train.pose_eval import (
+                    evaluate_vo_odometry,
+                )
+
+                ds = KittiVODataset(args.data, train=False,
+                                    skip=cfg.data.skip,
+                                    transform=Compose([Normalize()]))
+                odo = evaluate_vo_odometry(
+                    ds, fwd, jax.random.PRNGKey(0),
+                    pad_multiple=cfg.data.pad_multiple,
+                )
+                for seq, rep in odo.items():
+                    print(f"seq {seq:02d}: "
+                          f"ATE {rep['ate_rmse']:.3f} m  "
+                          f"t_err {rep['t_err_pct']:.2f} %  "
+                          f"r_err {rep['r_err_deg_per_100m']:.4f} deg/100m")
+                results["odometry"] = odo
             return results
 
         if args.save_pose:

@@ -108,6 +108,97 @@ def rpe(est_traj: jnp.ndarray, gt_traj: jnp.ndarray,
     )
 
 
+def trajectory_distances(traj: np.ndarray) -> np.ndarray:
+    """Cumulative along-path distance (N,) of an (N, 4, 4)/(N, 3, 4)
+    cam-to-world trajectory — the KITTI devkit's `trajectoryDistances`."""
+    p = np.asarray(traj, np.float64)[:, :3, 3]
+    seg = np.linalg.norm(np.diff(p, axis=0), axis=-1)
+    return np.concatenate([[0.0], np.cumsum(seg)])
+
+
+def kitti_segment_errors(
+    est_traj: np.ndarray,
+    gt_traj: np.ndarray,
+    lengths: Tuple[int, ...] = (100, 200, 300, 400, 500, 600, 700, 800),
+    step: int = 10,
+    align_scale: bool = False,
+) -> Tuple[float, float, dict]:
+    """KITTI odometry per-length segment errors (the devkit metric that the
+    reference outsources to the external kitti-odom-eval toolbox,
+    `README.md:69-71`).
+
+    For every start frame (every `step` frames) and every segment length L
+    reachable along the GT path, compares the relative transform over the
+    segment and accumulates translation error ||t_err|| / L and rotation
+    error angle(R_err) / L — the original C++ devkit's `calcSequenceErrors`.
+
+    Returns (t_err_pct, r_err_deg_per_100m, per_length) where t_err_pct is
+    the mean translation error in percent, r_err the mean rotation error in
+    degrees per 100 m, and per_length maps L -> (t_err_pct, r_err) for the
+    standard KITTI table. `align_scale=True` first rescales the estimated
+    translations by the Umeyama similarity scale vs GT (monocular scale
+    ambiguity — kitti-odom-eval's `--align scale` mode).
+    """
+
+    def to44(T):
+        T = np.asarray(T, np.float64)
+        if T.shape[-2:] == (3, 4):
+            out = np.tile(np.eye(4), (len(T), 1, 1))
+            out[:, :3, :4] = T
+            return out
+        return T
+
+    est, gt = to44(est_traj), to44(gt_traj)
+    if align_scale:
+        s, _, _ = align_umeyama(est[:, :3, 3], gt[:, :3, 3])
+        est = est.copy()
+        est[:, :3, 3] *= s
+    dist = trajectory_distances(gt)
+    per_length = {L: [] for L in lengths}
+    for first in range(0, len(gt), step):
+        for L in lengths:
+            # first frame whose path distance from `first` reaches L
+            beyond = np.nonzero(dist > dist[first] + L)[0]
+            if len(beyond) == 0:
+                break
+            last = int(beyond[0])
+            d_gt = np.linalg.inv(gt[first]) @ gt[last]
+            d_est = np.linalg.inv(est[first]) @ est[last]
+            err = np.linalg.inv(d_est) @ d_gt
+            t_err = np.linalg.norm(err[:3, 3]) / L
+            cos = (np.trace(err[:3, :3]) - 1) / 2
+            r_err = np.arccos(np.clip(cos, -1, 1)) / L
+            per_length[L].append((t_err, r_err))
+    table = {
+        L: (100.0 * float(np.mean([e[0] for e in v])),
+            100.0 * float(np.degrees(np.mean([e[1] for e in v]))))
+        for L, v in per_length.items() if v
+    }
+    flat = [e for v in per_length.values() for e in v]
+    if not flat:
+        return float("nan"), float("nan"), table
+    t_pct = 100.0 * float(np.mean([e[0] for e in flat]))
+    r_deg = 100.0 * float(np.degrees(np.mean([e[1] for e in flat])))
+    return t_pct, r_deg, table
+
+
+def evaluate_trajectory(est_traj, gt_traj, align: bool = True) -> dict:
+    """One-call odometry report: ATE + RPE + KITTI segment errors —
+    everything the external kitti-odom-eval toolbox prints for a sequence."""
+    t_pct, r_deg, table = kitti_segment_errors(
+        est_traj, gt_traj, align_scale=align
+    )
+    rpe_t, rpe_r = rpe(est_traj, gt_traj)
+    return {
+        "ate_rmse": ate_rmse(est_traj, gt_traj, align=align),
+        "rpe_trans": rpe_t,
+        "rpe_rot_deg": rpe_r,
+        "t_err_pct": t_pct,
+        "r_err_deg_per_100m": r_deg,
+        "per_length": table,
+    }
+
+
 def save_pose_predictions(path: str, poses_fw: np.ndarray,
                           poses_bw: np.ndarray) -> None:
     """Persist per-frame [pose_fw; pose_bw] stacks for reuse as

@@ -180,6 +180,70 @@ def save_raw_pred_poses(
     return written
 
 
+def evaluate_vo_odometry(
+    dataset,
+    pose_forward: Callable,  # (ref, target, K, key) -> (B, 3, 4)
+    key: jax.Array,
+    batch_size: int = 1,
+    pad_multiple: int = 128,
+    logger=None,
+) -> Dict[int, Dict[str, float]]:
+    """Full in-framework odometry evaluation over a KittiVODataset: predict
+    the backward (later-frame-in-earlier-frame) pose of every consecutive
+    skip-pair, chain per-sequence trajectories, and score ATE / RPE / the
+    KITTI devkit segment errors vs the GT trajectory — everything the
+    reference's `save_pose` + external kitti-odom-eval workflow produces
+    (`main.py:636-703`, `README.md:69-71`) in one call.
+
+    `dataset` should be built WITHOUT random augmentation. Returns
+    {seq: evaluate_trajectory dict}.
+    """
+    from collections import defaultdict
+
+    from deep_sfm_revisited_tpu.train.odometry import (
+        chain_poses,
+        evaluate_trajectory,
+    )
+    import jax.numpy as jnp_  # local alias, keeps the module import lazy
+
+    # consecutive forward links only (skip-pair, no boundary fallbacks)
+    links = [
+        i for i in range(len(dataset))
+        if dataset._pair_index(i)[1] == i + dataset.skip
+    ]
+    rels: Dict[int, Dict[int, np.ndarray]] = defaultdict(dict)
+    for batch, chunk in _batched_pairs(dataset, links, batch_size,
+                                       pad_multiple):
+        key, k = jax.random.split(key)
+        # backward pose: frame-(i+skip) camera expressed in frame-i coords
+        pose_bw = np.asarray(pose_forward(
+            jnp_.asarray(batch["ref"]), jnp_.asarray(batch["target"]),
+            jnp_.asarray(batch["intrinsics"]), k,
+        ))
+        for b, s in enumerate(chunk):
+            rels[int(s["seq"])][int(s["frame_id1"])] = pose_bw[b]
+    report: Dict[int, Dict[str, float]] = {}
+    for seq, by_frame in sorted(rels.items()):
+        fids = sorted(by_frame)
+        # longest contiguous run from the first frame
+        run = [by_frame[fids[0]]]
+        for a, b in zip(fids, fids[1:]):
+            if b != a + dataset.skip:
+                break
+            run.append(by_frame[b])
+        est = np.asarray(chain_poses(jnp_.asarray(np.stack(run))))
+        gt = dataset.poses[seq][fids[0]::dataset.skip][: len(est)]
+        rep = evaluate_trajectory(est, gt)
+        report[seq] = rep
+        if logger is not None:
+            logger.info(
+                f"seq {seq:02d}: ATE {rep['ate_rmse']:.3f} m, "
+                f"t_err {rep['t_err_pct']:.2f} %, "
+                f"r_err {rep['r_err_deg_per_100m']:.4f} deg/100m"
+            )
+    return report
+
+
 def trajectory_from_saved(out_dir: str, seq: int) -> np.ndarray:
     """Chain saved backward poses of one sequence into cam-to-world poses.
 

@@ -153,6 +153,41 @@ def test_pred_pose_training_step_e2e(vo_root):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_evaluate_vo_odometry_oracle(vo_root):
+    """Oracle pose net -> the one-call odometry report must be ~zero ATE
+    (segment errors are NaN on a 4-frame toy path shorter than 100 m —
+    that must be tolerated, not crash)."""
+    from deep_sfm_revisited_tpu.data.kitti import (
+        KittiVODataset,
+        compute_delta_rt,
+        load_vo_poses,
+    )
+    from deep_sfm_revisited_tpu.train.pose_eval import evaluate_vo_odometry
+
+    gt_poses = load_vo_poses(os.path.join(vo_root, "poses", "09.txt"))
+    ds = KittiVODataset(vo_root, train=False)
+
+    calls = []
+
+    def oracle(ref, tgt, K, key):
+        idx = len(calls)
+        calls.append(idx)
+        # evaluate_vo_odometry feeds consecutive forward links in order:
+        # link idx covers frames (idx, idx+1); prediction is the
+        # later-in-earlier (bw) transform, matching pose_gt orientation
+        rel = compute_delta_rt(gt_poses[idx], gt_poses[idx + 1])
+        return jnp.asarray(rel)[None]
+
+    report = evaluate_vo_odometry(ds, oracle, jax.random.PRNGKey(0),
+                                  pad_multiple=16)
+    assert set(report) == {9}
+    rep = report[9]
+    assert rep["ate_rmse"] < 1e-4
+    assert rep["rpe_trans"] < 1e-4
+    assert np.isnan(rep["t_err_pct"])  # no 100 m segment on the toy path
+    assert len(calls) == 3  # 4 frames -> 3 consecutive links
+
+
 def test_odometry_smoke_saved_poses_to_ate(vo_root, tmp_path):
     """Chain saved per-pair poses into a trajectory and score ATE vs the
     GT trajectory — the reference outsources this to kitti-odom-eval
