@@ -33,6 +33,15 @@ from deep_sfm_revisited_tpu.data import velodyne as velo
 
 
 def _imread(path: str) -> np.ndarray:
+    if path.endswith(".png"):
+        # GIL-free libpng fast path (native/dsfm_native.cpp png_decode_rgb8)
+        from deep_sfm_revisited_tpu.data import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        im = native.decode_png_rgb8(data)
+        if im is not None:
+            return im
     from imageio.v2 import imread
 
     im = imread(path)
@@ -46,6 +55,13 @@ def load_depth_png(path: str) -> Optional[np.ndarray]:
     KITTI_loader.py:31-39). Returns None when absent."""
     if not os.path.exists(path):
         return None
+    from deep_sfm_revisited_tpu.data import native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    raw = native.decode_png_gray16(data)
+    if raw is not None:
+        return raw.astype(np.float32) / 256.0
     from imageio.v2 import imread
 
     return np.asarray(imread(path), dtype=np.float32) / 256.0

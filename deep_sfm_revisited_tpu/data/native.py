@@ -53,6 +53,27 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int64,
         c_float_p, ctypes.c_int64, ctypes.c_int64,
     ]
+    c_u8_p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64_p = ctypes.POINTER(ctypes.c_int64)
+    c_i32_p = ctypes.POINTER(ctypes.c_int32)
+    lib.png_probe.restype = ctypes.c_int
+    lib.png_probe.argtypes = [
+        c_u8_p, ctypes.c_int64, c_i64_p, c_i64_p, c_i32_p, c_i32_p,
+    ]
+    lib.png_decode_rgb8.restype = ctypes.c_int
+    lib.png_decode_rgb8.argtypes = [
+        c_u8_p, ctypes.c_int64, c_u8_p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.png_decode_gray16.restype = ctypes.c_int
+    lib.png_decode_gray16.argtypes = [
+        c_u8_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.png_decode_norm_pad.restype = ctypes.c_int
+    lib.png_decode_norm_pad.argtypes = [
+        c_u8_p, ctypes.c_int64, c_float_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -128,3 +149,85 @@ def depth_u16_to_f32(img: np.ndarray, out_shape) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), oh, ow,
     )
     return out
+
+
+# ---------------------------------------------------------------------
+# libpng decode path (GIL-free; ctypes releases the GIL for the call, so
+# BatchLoader worker threads decode concurrently). Each returns None when
+# the native library is unavailable, was built without libpng, or the
+# stream isn't what the fast path handles — callers fall back to imageio.
+
+
+def _as_u8_buf(data: bytes):
+    buf = np.frombuffer(data, np.uint8)
+    return buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf)
+
+
+def png_probe(data: bytes):
+    """(h, w, channels, bit_depth) of a PNG byte stream, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    p, n = _as_u8_buf(data)
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    bd = ctypes.c_int32()
+    if lib.png_probe(p, n, ctypes.byref(h), ctypes.byref(w),
+                     ctypes.byref(ch), ctypes.byref(bd)) != 0:
+        return None
+    return h.value, w.value, ch.value, bd.value
+
+
+def decode_png_rgb8(data: bytes) -> Optional[np.ndarray]:
+    """PNG bytes -> (h, w, 3) uint8 (palette/gray/16-bit all folded)."""
+    lib = _load()
+    meta = png_probe(data)
+    if lib is None or meta is None:
+        return None
+    h, w = meta[0], meta[1]
+    out = np.empty((h, w, 3), np.uint8)
+    p, n = _as_u8_buf(data)
+    if lib.png_decode_rgb8(
+            p, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w
+    ) != 0:
+        return None
+    return out
+
+
+def decode_png_gray16(data: bytes) -> Optional[np.ndarray]:
+    """16-bit grayscale PNG bytes -> (h, w) uint16 (host-endian)."""
+    lib = _load()
+    meta = png_probe(data)
+    if lib is None or meta is None or meta[2] != 1 or meta[3] != 16:
+        return None
+    h, w = meta[0], meta[1]
+    out = np.empty((h, w), np.uint16)
+    p, n = _as_u8_buf(data)
+    if lib.png_decode_gray16(
+            p, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h, w
+    ) != 0:
+        return None
+    return out
+
+
+def decode_png_norm_pad(data: bytes, pad_multiple: int = 0):
+    """Fused PNG decode -> float32 [-1, 1] RGB replicate-padded to the
+    next /pad_multiple shape. Returns (img (H, W, 3) f32, (h, w) raw) or
+    None. One native pass ≙ imread + Normalize + pad_to_multiple."""
+    lib = _load()
+    meta = png_probe(data)
+    if lib is None or meta is None:
+        return None
+    h, w = meta[0], meta[1]
+    m = max(pad_multiple, 1)
+    oh = -(-h // m) * m
+    ow = -(-w // m) * m
+    out = np.empty((oh, ow, 3), np.float32)
+    p, n = _as_u8_buf(data)
+    if lib.png_decode_norm_pad(
+            p, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, w, oh, ow,
+    ) != 0:
+        return None
+    return out, (h, w)
