@@ -24,10 +24,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true",
+                   help="run on CPU (remote TPU compile can be slow)")
+    args = p.parse_args(argv)
+
     import jax
 
-    if os.environ.get("DSFM_CPU"):  # the axon sitecustomize ignores
+    if args.cpu or os.environ.get("DSFM_CPU"):  # sitecustomize ignores
         jax.config.update("jax_platforms", "cpu")  # JAX_PLATFORMS
     jax.config.update("jax_enable_x64", True)
 
@@ -43,7 +50,9 @@ def main():
     n_frames = 12
     h, w, f = 96, 160, 120.0
     K = jnp.asarray([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], jnp.float64)
-    K_inv = jnp.linalg.inv(K)
+    # host-side constant inverse: the TPU platform has no f64 LU kernel
+    # (ops/linalg64.py exists for in-graph f64; a 3x3 constant needs none)
+    K_inv = jnp.asarray(np.linalg.inv(np.asarray(K)))
 
     # ground-truth relative motions: gentle arc (yaw + forward + lateral)
     rel_gt = []
