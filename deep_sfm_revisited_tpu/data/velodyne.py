@@ -97,3 +97,107 @@ def generate_depth_map(calib_dir: str, velo_path: str, shape: Tuple[int, int]):
     if native.available():
         return native.velodyne_project_depth(pts, P @ R @ T, shape)
     return project_depth(pts, P, R, T, shape)
+
+
+# ---------------------------------------------------------------------
+# Offline VO-sequence exporter (≙ `lidar_to_depth.py:14-52`): project
+# every velodyne scan of an odometry sequence into a uint16/256 PNG
+# under RealDepth/<seq>/velodyne/, the tree KittiVODataset consumes.
+# The reference exporter's conventions differ from generate_depth_map's
+# and are reproduced exactly: P2 @ Tr from the sequence calib.txt,
+# valid mask u,v > 0 & round(u,v) < (W,H) & 0 < z < 1000, pixel index
+# round() WITHOUT the -1 shift, last-point-wins (no closest-depth
+# de-dup), clamp-to-zero outside uint16 range (lidar_to_depth.py:30-46).
+
+
+def odometry_calib(calib_path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(P2 (3,4), Tr (4,4)) from an odometry sequences/<seq>/calib.txt
+    (pykitti's P_rect_20 / T_cam0_velo, lidar_to_depth.py:31)."""
+    calib = read_calib_file(calib_path)
+    P2 = calib["P2"].reshape(3, 4)
+    Tr = np.eye(4)
+    Tr[:3] = calib["Tr"].reshape(3, 4)
+    return P2, Tr
+
+
+def export_depth_png(points: np.ndarray, M: np.ndarray,
+                     shape: Tuple[int, int]) -> np.ndarray:
+    """One scan -> uint16 depth*256 image, reference-exporter semantics
+    (lidar_to_depth.py:33-46)."""
+    h, w = shape
+    res = M @ points.T  # (3, N)
+    z = res[2]
+    u = res[0] / z
+    v = res[1] / z
+    valid = (
+        (u > 0) & (np.round(u) < w) & (v > 0) & (np.round(v) < h)
+        & (z > 0) & (z < 1000)
+    )
+    ui = np.round(u[valid]).astype(np.uint32)
+    vi = np.round(v[valid]).astype(np.uint32)
+    depth = np.zeros((h, w), np.float64)
+    depth[vi, ui] = z[valid]  # last point wins, as the reference
+    d16 = depth * 256.0
+    d16[(d16 < 0) | (d16 > 65535)] = 0
+    return d16.astype(np.uint16)
+
+
+def export_sequence(root: str, seq: str, out_subdir: str = "RealDepth",
+                    verbose: bool = False) -> int:
+    """Export every scan of sequences/<seq>/velodyne/*.bin. Image size
+    comes from the matching image_2 frame (probed without decoding when
+    the native library is built). Returns the number of files written."""
+    import glob
+
+    from imageio.v2 import imread, imwrite
+
+    from deep_sfm_revisited_tpu.data import native
+
+    P2, Tr = odometry_calib(
+        os.path.join(root, "sequences", seq, "calib.txt"))
+    M = P2 @ Tr
+    bins = sorted(
+        glob.glob(os.path.join(root, "sequences", seq, "velodyne", "*.bin")))
+    n = 0
+    for b in bins:
+        frame = os.path.splitext(os.path.basename(b))[0]
+        img = os.path.join(root, "sequences", seq, "image_2", frame + ".png")
+        shape = None
+        if os.path.exists(img):
+            with open(img, "rb") as f:
+                meta = native.png_probe(f.read())
+            shape = meta[:2] if meta else imread(img).shape[:2]
+        if shape is None:
+            continue  # no camera frame -> no depth target size
+        pts = load_velodyne_points(b)
+        d16 = export_depth_png(pts, M, shape)
+        out = os.path.join(root, out_subdir, seq, "velodyne", frame + ".png")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        imwrite(out, d16)
+        n += 1
+        if verbose and n % 100 == 0:
+            print(f"seq {seq}: {n}/{len(bins)}", flush=True)
+    return n
+
+
+def _main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Export KITTI-VO velodyne scans to RealDepth/ PNGs "
+                    "(offline, ≙ lidar_to_depth.py)")
+    p.add_argument("--root", required=True, help="KITTI odometry root")
+    p.add_argument("--seqs", nargs="*",
+                   default=[f"{i:02d}" for i in range(11)])
+    p.add_argument("--out-subdir", default="RealDepth")
+    args = p.parse_args(argv)
+    total = 0
+    for seq in args.seqs:
+        n = export_sequence(args.root, seq, args.out_subdir, verbose=True)
+        print(f"seq {seq}: wrote {n} depth maps", flush=True)
+        total += n
+    print(f"done: {total} files", flush=True)
+
+
+if __name__ == "__main__":
+    _main()

@@ -243,3 +243,80 @@ def test_kitti_raw_test_split(kitti_raw_root):
     assert len(ds) == 1
     s = ds[0]
     assert s["pose_gt"].shape == (3, 4)
+
+
+class TestLidarExport:
+    """Offline RealDepth exporter (≙ lidar_to_depth.py:14-52)."""
+
+    @staticmethod
+    def _tree(tmp_path):
+        import numpy as np
+        from imageio.v2 import imwrite
+
+        root = tmp_path / "vo"
+        seq_dir = root / "sequences" / "00"
+        (seq_dir / "velodyne").mkdir(parents=True)
+        (seq_dir / "image_2").mkdir(parents=True)
+        # camera frame sets the export size
+        imwrite(seq_dir / "image_2" / "000000.png",
+                np.zeros((48, 64, 3), np.uint8))
+        with open(seq_dir / "calib.txt", "w") as f:
+            f.write("P2: 40 0 32 0 0 40 24 0 0 0 1 0\n")
+            # velodyne x-forward -> camera z-forward axis swap
+            f.write("Tr: 0 -1 0 0 0 0 -1 0 1 0 0 0\n")
+        rng = np.random.default_rng(0)
+        pts = np.concatenate([
+            rng.uniform(2, 30, (500, 1)),      # x forward
+            rng.uniform(-8, 8, (500, 2)),
+            rng.random((500, 1)),              # reflectance (ignored)
+        ], axis=1).astype(np.float32)
+        pts.tofile(seq_dir / "velodyne" / "000000.bin")
+        return str(root), pts
+
+    def test_matches_reference_formula(self, tmp_path):
+        import numpy as np
+        from imageio.v2 import imread
+
+        from deep_sfm_revisited_tpu.data import velodyne as velo
+
+        root, pts = self._tree(tmp_path)
+        n = velo.export_sequence(root, "00")
+        assert n == 1
+        got = imread(
+            os.path.join(root, "RealDepth", "00", "velodyne", "000000.png"))
+        assert got.dtype == np.uint16 and got.shape == (48, 64)
+
+        # independent transcription of lidar_to_depth.py:30-46
+        P2 = np.array([[40, 0, 32, 0], [0, 40, 24, 0], [0, 0, 1, 0]], float)
+        Tr = np.eye(4)
+        Tr[:3] = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], float)
+        hom = pts.astype(np.float64).copy()
+        hom[:, 3] = 1.0
+        res = (P2 @ Tr) @ hom.T
+        uv = res[:2] / res[2]
+        z = res[2]
+        ok = ((uv[0] > 0) & (np.round(uv[0]) < 64) & (uv[1] > 0)
+              & (np.round(uv[1]) < 48) & (z > 0) & (z < 1000))
+        idx = np.round(uv[:, ok]).astype("uint32")
+        ref = np.zeros((48, 64))
+        ref[idx[1], idx[0]] = z[ok]
+        ref16 = (ref * 256)
+        ref16[(ref16 < 0) | (ref16 > 65535)] = 0
+        np.testing.assert_array_equal(got, ref16.astype(np.uint16))
+        assert (got > 0).sum() > 50  # scene actually projects into frame
+
+    def test_exported_tree_feeds_vo_dataset(self, tmp_path):
+        """Export -> KittiVODataset reads the depth back in metres."""
+        import numpy as np
+        from imageio.v2 import imwrite
+
+        from deep_sfm_revisited_tpu.data import velodyne as velo
+        from deep_sfm_revisited_tpu.data.kitti import load_depth_png
+
+        root, _ = self._tree(tmp_path)
+        velo.export_sequence(root, "00")
+        d = load_depth_png(
+            os.path.join(root, "RealDepth", "00", "velodyne", "000000.png"))
+        assert d is not None and d.shape == (48, 64)
+        nz = d[d > 0]
+        assert nz.size > 50 and (nz > 1.9).all() and (nz < 31).all()
