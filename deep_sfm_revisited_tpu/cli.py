@@ -104,7 +104,7 @@ def config_from_args(args):
     return cfg.override(**over)
 
 
-def build_loaders(cfg, args):
+def build_loaders(cfg, args, shard_id: int = 0, num_shards: int = 1):
     from deep_sfm_revisited_tpu.data import (
         BatchLoader,
         Compose,
@@ -144,13 +144,22 @@ def build_loaders(cfg, args):
             gt_depth_dir=args.gt_depth_dir, transform=val_tf,
             eigen_sfm=cfg.data.eigen_sfm,
         )
+    # multi-host: batch_size is the GLOBAL batch; each process loads its
+    # 1/num_shards stride and multihost.global_batch assembles the rest
+    local_b = cfg.train.batch_size
+    if num_shards > 1:
+        assert local_b % num_shards == 0, (
+            f"global batch {local_b} not divisible by {num_shards} hosts")
+        local_b //= num_shards
     train_loader = BatchLoader(
-        train_ds, cfg.train.batch_size, workers=cfg.data.workers,
+        train_ds, local_b, workers=cfg.data.workers,
         pad_multiple=cfg.data.pad_multiple, seed=cfg.train.seed,
+        shard_id=shard_id, num_shards=num_shards,
     )
     val_loader = BatchLoader(
         val_ds, 1, shuffle=False, workers=cfg.data.workers,
         pad_multiple=cfg.data.pad_multiple, drop_last=False,
+        shard_id=shard_id, num_shards=num_shards,
     )
     return train_loader, val_loader
 
@@ -285,9 +294,17 @@ def main(argv=None):
     cfg = config_from_args(args)
     if args.train_flow:
         return train_flow_main(args, cfg)
-    train_loader, val_loader = build_loaders(cfg, args)
+
+    # multi-host: join the job BEFORE anything touches the backend, then
+    # stride the loaders per process (single-host: no-op, shard 0/1)
+    from deep_sfm_revisited_tpu.parallel import multihost
+
+    multihost.initialize()
 
     import jax
+
+    shard = multihost.host_shard_info()
+    train_loader, val_loader = build_loaders(cfg, args, **shard)
 
     from deep_sfm_revisited_tpu.train.loop import fit, validate
     from deep_sfm_revisited_tpu.train.trainer import (
@@ -390,7 +407,8 @@ def main(argv=None):
 
         eval_fn = make_eval_step(model, cfg)
         results = validate(val_loader, state, eval_fn,
-                           jax.random.PRNGKey(0))
+                           jax.random.PRNGKey(0),
+                           cross_host=jax.process_count() > 1)
         print({k: round(v, 4) for k, v in results.items()})
         return results
 

@@ -52,6 +52,34 @@ def host_shard_info() -> Dict[str, int]:
     }
 
 
+def reduce_metric_sums(sums: Dict[str, float],
+                       counts: Dict[str, float]) -> Dict[str, float]:
+    """Global weighted averages from per-host (sum, count) meter pairs.
+
+    Multi-host evaluation shards the eval set over processes
+    (data/loader.py shard striding); each host's AverageMeters then hold
+    only its shard. This all-gathers every host's (sum, count) vectors
+    and returns the global metric averages, identical on all hosts.
+    Single-process: plain local averages (no collective). The reference
+    has no counterpart (single-process, `validate` main.py:460-631).
+    """
+    keys = sorted(sums)
+    vec = np.asarray(
+        [sums[k] for k in keys] + [counts[k] for k in keys], np.float32
+    )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        vec = np.asarray(
+            multihost_utils.process_allgather(vec), np.float64
+        ).sum(axis=0)
+    n = len(keys)
+    return {
+        k: float(vec[i] / max(vec[n + i], 1e-12))
+        for i, k in enumerate(keys)
+    }
+
+
 def global_batch(local_batch: Dict[str, np.ndarray], mesh: Mesh):
     """Assemble per-host numpy batches into mesh-global jax.Arrays.
 

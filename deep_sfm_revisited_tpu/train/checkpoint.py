@@ -43,12 +43,23 @@ def save_checkpoint(
     }
     mgr.save(epoch, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
+    if jax.process_count() > 1:
+        # commit barrier: orbax finalizes (tmp-dir rename) on process 0;
+        # without this a peer can reach a restore before the rename lands
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"dsfm_ckpt_commit_{epoch}")
     if is_best:
-        best = os.path.join(directory, "model_best")
-        src = os.path.join(directory, str(epoch))
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(src, best)
+        if jax.process_index() == 0:
+            best = os.path.join(directory, "model_best")
+            src = os.path.join(directory, str(epoch))
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(src, best)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"dsfm_ckpt_best_{epoch}")
 
 
 def restore_checkpoint(

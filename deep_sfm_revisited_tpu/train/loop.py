@@ -33,6 +33,14 @@ def _to_device(batch: Dict[str, np.ndarray], mesh=None):
     keep = {k: v for k, v in batch.items()
             if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"}
     if mesh is not None:
+        if jax.process_count() > 1:
+            # multi-host: each process holds its loader shard; assemble
+            # mesh-global arrays (device_put can't address remote chips)
+            from deep_sfm_revisited_tpu.parallel.multihost import (
+                global_batch,
+            )
+
+            return global_batch(keep, mesh)
         return shard_batch(keep, mesh)
     return jax.tree_util.tree_map(jnp.asarray, keep)
 
@@ -97,8 +105,13 @@ def validate(
     logger=None,
     mesh=None,
     print_freq: int = 20,
+    cross_host: bool = False,
 ):
-    """Eigen-protocol depth evaluation (≙ `validate`, main.py:460-631)."""
+    """Eigen-protocol depth evaluation (≙ `validate`, main.py:460-631).
+
+    With `cross_host=True` (multi-host eval: each process runs its
+    loader shard), the final metrics are globally reduced over all
+    processes — every host returns the same full-eval-set averages."""
     meters: Dict[str, AverageMeter] = {}
     for i, host_batch in enumerate(loader):
         key, k = jax.random.split(key)
@@ -112,7 +125,17 @@ def validate(
                 f"Test: [{i}/{len(loader)}]\t"
                 f"abs_rel {meters['abs_rel']}"
             )
-    final = {k: m.avg for k, m in meters.items()}
+    if cross_host:
+        from deep_sfm_revisited_tpu.parallel.multihost import (
+            reduce_metric_sums,
+        )
+
+        final = reduce_metric_sums(
+            {k: m.sum for k, m in meters.items()},
+            {k: m.count for k, m in meters.items()},
+        )
+    else:
+        final = {k: m.avg for k, m in meters.items()}
     if logger is not None:
         logger.info(
             " ".join(f"{k} {v:.4f}" for k, v in sorted(final.items()))
@@ -157,7 +180,11 @@ def fit(
     )
     if restore_fn is not None:
         state = restore_fn(state)
-    mesh = make_mesh(cfg.mesh) if cfg.mesh.model_parallel > 1 else None
+    # a mesh is needed for model parallelism AND for any multi-host run
+    # (global-batch assembly requires a global mesh even for pure DP)
+    mesh = (make_mesh(cfg.mesh)
+            if cfg.mesh.model_parallel > 1 or jax.process_count() > 1
+            else None)
     step_fn = make_train_step(model, cfg)
     eval_fn = make_eval_step(model, cfg)
 
@@ -172,9 +199,15 @@ def fit(
         metric = avg_loss
         if val_loader is not None:
             results = validate(val_loader, state, eval_fn, k_val, logger,
-                               mesh, cfg.train.print_freq)
+                               mesh, cfg.train.print_freq,
+                               cross_host=jax.process_count() > 1)
             metric = results["abs_rel"]
         is_best = metric < best
         best = min(metric, best)
+        # ALL processes call save: orbax's CheckpointManager is itself a
+        # collective in multiprocess mode (internal sync_global_devices on
+        # directory creation/finalize) — a process-0-only call deadlocks
+        # on mismatched barrier order. save_checkpoint adds the commit
+        # barrier so no process races into a restore of this checkpoint.
         save_checkpoint(os.path.join(out, "ckpt"), state, epoch, is_best)
     return state

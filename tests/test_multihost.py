@@ -46,6 +46,17 @@ assert gb["x"].shape == (8, 1), gb["x"].shape
 
 total = float(jax.jit(lambda x: x.sum())(gb["x"]))
 assert total == float(full.sum()), (total, full.sum())
+
+# cross-host eval-metric reduction: each host holds meters over its own
+# shard; reduce_metric_sums must return the GLOBAL weighted average on
+# both hosts (train/loop.py validate cross_host=True path)
+local_n = float(local.size)
+local_sum = float(local.sum())
+final = multihost.reduce_metric_sums(
+    {"abs_rel": local_sum}, {"abs_rel": local_n}
+)
+expect = float(full.mean())
+assert abs(final["abs_rel"] - expect) < 1e-6, (final, expect)
 print(f"proc {pid}: OK total={total}")
 """
 
