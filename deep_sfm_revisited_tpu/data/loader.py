@@ -89,7 +89,11 @@ class BatchLoader:
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
+        # every shard yields ceil(N / num_shards) samples (wrap-around
+        # padding, torch DistributedSampler style) so multi-host epochs
+        # are the same length on every process and no tail sample is
+        # silently dropped from a sharded eval
+        n = -(-len(self.dataset) // self.num_shards)
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -100,6 +104,12 @@ class BatchLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            # wrap-around pad so every shard sees the same sample count
+            # (the duplicated head samples are the standard
+            # DistributedSampler trade for equal-length shards)
+            total = -(-len(idx) // self.num_shards) * self.num_shards
+            idx = np.resize(idx, total)  # cyclic repeat up to total
         idx = idx[self.shard_id :: self.num_shards]
         nb = len(self)
         batches = [

@@ -21,24 +21,40 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libdsfm_native.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _make(force: bool = False) -> bool:
+    cmd = ["make", "-C", _NATIVE_DIR, "-s"] + (["-B"] if force else [])
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except (OSError, subprocess.SubprocessError):
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    if not os.path.exists(_LIB_PATH) and not _make():
         return None
+    for attempt in range(2):
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+            _lib = lib
+            return lib
+        except OSError:
+            return None
+        except AttributeError:
+            # stale .so from an older source revision: missing symbols.
+            # Force a rebuild once; if the toolchain is gone, fall back to
+            # the pure-python paths instead of crashing the loaders.
+            if attempt == 0 and _make(force=True):
+                continue
+            return None
+    return None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     c_double_p = ctypes.POINTER(ctypes.c_double)
     c_float_p = ctypes.POINTER(ctypes.c_float)
     lib.velodyne_project_depth.argtypes = [
@@ -74,8 +90,6 @@ def _load() -> Optional[ctypes.CDLL]:
         c_u8_p, ctypes.c_int64, c_float_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
     ]
-    _lib = lib
-    return lib
 
 
 def available() -> bool:

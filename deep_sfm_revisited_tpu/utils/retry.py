@@ -41,7 +41,29 @@ _TRANSIENT = (
 
 
 def is_transient(err: BaseException) -> bool:
+    """True for errors worth retrying.
+
+    Besides `RuntimeError` subclasses carrying a transient status
+    (JaxRuntimeError surfaces this way), the remote-helper transport can
+    raise OS-level socket/connection errors and timeout types that are
+    NOT RuntimeErrors — a wedged tunnel shows up as ConnectionResetError
+    or TimeoutError. Those are always transient by nature (the program
+    itself never raises them), so they retry unconditionally.
+    """
+    if isinstance(err, (ConnectionError, TimeoutError, BrokenPipeError)):
+        return True
     msg = str(err)
+    if isinstance(err, OSError):
+        # transport-level I/O failures only; filesystem OSErrors
+        # (FileNotFound, Permission, ...) stay fatal
+        import errno as _errno
+
+        transport = {
+            _errno.ECONNRESET, _errno.ECONNABORTED, _errno.ECONNREFUSED,
+            _errno.EPIPE, _errno.ETIMEDOUT, _errno.EHOSTUNREACH,
+            _errno.ENETUNREACH, _errno.ENETRESET,
+        }
+        return err.errno in transport or any(m in msg for m in _TRANSIENT)
     return isinstance(err, RuntimeError) and any(m in msg for m in _TRANSIENT)
 
 

@@ -81,10 +81,10 @@ def depth_to_colormap(
 ) -> np.ndarray:
     """Depth (H, W) -> uint8 RGB via a matplotlib colormap
     (≙ `tensor2array`, utils.py:165-192)."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     depth = np.asarray(depth, np.float32)
     mv = max_value if max_value is not None else max(depth.max(), 1e-5)
     norm = np.clip(depth / mv, 0, 1)
-    rgba = cm.get_cmap(colormap)(norm)
+    rgba = matplotlib.colormaps[colormap](norm)
     return (rgba[..., :3] * 255).astype(np.uint8)

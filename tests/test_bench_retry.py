@@ -26,6 +26,32 @@ def test_is_transient_classification():
     assert not retry.is_transient(TypeError("bad shape"))
 
 
+def test_is_transient_transport_errors():
+    # the remote-helper tunnel surfaces socket teardown as OS-level
+    # exception types, not RuntimeError — those must retry too
+    assert retry.is_transient(ConnectionResetError("Connection reset by peer"))
+    assert retry.is_transient(BrokenPipeError(32, "Broken pipe"))
+    assert retry.is_transient(TimeoutError("timed out"))
+    assert retry.is_transient(OSError("[Errno 104] Connection reset by peer"))
+    # non-I/O OSErrors without transient markers stay fatal
+    assert not retry.is_transient(FileNotFoundError("missing.yaml"))
+
+
+def test_retry_recovers_from_socket_error():
+    calls = []
+
+    def build_and_run():
+        calls.append(1)
+        if len(calls) < 2:
+            raise ConnectionResetError("Connection reset by peer")
+        return "ok"
+
+    assert retry.run_with_backend_retry(
+        build_and_run, attempts=3, backoff_s=0.0
+    ) == "ok"
+    assert len(calls) == 2
+
+
 def test_retry_retries_transient_then_succeeds():
     calls = []
 

@@ -144,6 +144,35 @@ def test_batch_loader(kitti_vo_root):
     assert len(list(half)) == 2
 
 
+def test_sharded_loader_equal_lengths_no_tail_drop():
+    """With N % num_shards != 0, every shard must still yield the same
+    number of equally-shaped batches (wrap-around padding) and the union
+    of shards must cover every dataset index — a silently dropped eval
+    tail would bias multi-host validate metrics."""
+
+    class Tiny:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i, rng=None):
+            return {"ref": np.full((8, 8, 3), i, np.float32),
+                    "idx": np.asarray(i, np.int64)}
+
+    ds = Tiny()
+    shards = [
+        BatchLoader(ds, batch_size=2, workers=1, shuffle=False,
+                    pad_multiple=0, drop_last=False,
+                    shard_id=s, num_shards=3)
+        for s in range(3)
+    ]
+    outs = [list(s) for s in shards]
+    assert [len(o) for o in outs] == [len(shards[0])] * 3
+    for bi in range(len(outs[0])):
+        assert len({o[bi]["ref"].shape for o in outs}) == 1
+    seen = {int(i) for o in outs for b in o for i in np.atleast_1d(b["idx"])}
+    assert seen == set(range(7))
+
+
 def test_velodyne_projection():
     # one velodyne point 10 m ahead (velo x-forward) -> principal point
     P = np.array([[70.0, 0, 48, 0], [0, 70.0, 32, 0], [0, 0, 1, 0]])
