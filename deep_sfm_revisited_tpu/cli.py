@@ -220,8 +220,13 @@ def apply_pretrained(args, cfg, state):
     return state
 
 
-def make_pose_forward(cfg, state):
-    """Jitted early-return pose forward (≙ models/SFMnet.py:157-158)."""
+def make_pose_forward(cfg, state, diag: bool = False):
+    """Jitted early-return pose forward (≙ models/SFMnet.py:157-158).
+
+    With `diag=True` returns (pose, num_matches) — num_matches is the
+    per-image confident-candidate count (None on the RAFT / GT paths),
+    surfacing the uniform-grid fallback the reference prints degenerate-
+    pair diagnostics for (models/SFMnet.py:205-241)."""
     import jax
     import jax.numpy as jnp
 
@@ -237,6 +242,8 @@ def make_pose_forward(cfg, state):
             {"params": state.params, "batch_stats": state.batch_stats},
             ref, target, K, key=key, train=False,
         )
+        if diag:
+            return out["pose"], out.get("num_matches")
         return out["pose"]
 
     return fwd
@@ -306,111 +313,26 @@ def main(argv=None):
     shard = multihost.host_shard_info()
     train_loader, val_loader = build_loaders(cfg, args, **shard)
 
-    from deep_sfm_revisited_tpu.train.loop import fit, validate
-    from deep_sfm_revisited_tpu.train.trainer import (
-        create_train_state,
-        make_eval_step,
-    )
+    from deep_sfm_revisited_tpu.train.loop import fit
+    from deep_sfm_revisited_tpu.utils.retry import run_with_backend_retry
 
     if args.validate or args.record_pose or args.save_pose:
-        rng = jax.random.PRNGKey(cfg.train.seed)
-        model, state = create_train_state(
-            cfg, rng, sample_shape=(1, *cfg.data.val_size)
-        )
-        state = apply_pretrained(args, cfg, state)
+        if args.record_pose or args.save_pose:
+            # pose tools are single-host jobs: they print one report /
+            # write one file tree. Run them on process 0 over the FULL
+            # (unsharded) eval set instead of letting every process score
+            # or write its own shard concurrently.
+            if jax.process_index() != 0:
+                return None
+            _, val_loader = build_loaders(cfg, args)
 
-        if args.record_pose:
-            from deep_sfm_revisited_tpu.train.pose_eval import (
-                record_pose_errors,
-            )
+        # self-contained so a transient-backend retry re-creates every
+        # piece of device state (utils/retry.py; ≙ bench.py hardening —
+        # the reference counterpart is a human re-running the script)
+        def run_eval_tools():
+            return _eval_tools(args, cfg, val_loader)
 
-            fwd = make_pose_forward(cfg, state)
-
-            def pose_on_batch(batch, key):
-                import jax.numpy as jnp
-
-                return fwd(jnp.asarray(batch["ref"]),
-                           jnp.asarray(batch["target"]),
-                           jnp.asarray(batch["intrinsics"]), key)
-
-            results = record_pose_errors(
-                val_loader, pose_on_batch, jax.random.PRNGKey(0)
-            )
-            print({k: round(v, 6) for k, v in results.items()})
-
-            if cfg.data.dataset == "kitti_vo":
-                # full odometry report: chain the predicted poses of the
-                # test sequences and score ATE / RPE / KITTI segment
-                # errors (≙ save_pose + external kitti-odom-eval,
-                # README.md:69-71 — here in-framework)
-                from deep_sfm_revisited_tpu.data import (
-                    Compose,
-                    KittiVODataset,
-                    Normalize,
-                )
-                from deep_sfm_revisited_tpu.train.pose_eval import (
-                    evaluate_vo_odometry,
-                )
-
-                ds = KittiVODataset(args.data, train=False,
-                                    skip=cfg.data.skip,
-                                    transform=Compose([Normalize()]))
-                odo = evaluate_vo_odometry(
-                    ds, fwd, jax.random.PRNGKey(0),
-                    pad_multiple=cfg.data.pad_multiple,
-                )
-                for seq, rep in odo.items():
-                    print(f"seq {seq:02d}: "
-                          f"ATE {rep['ate_rmse']:.3f} m  "
-                          f"t_err {rep['t_err_pct']:.2f} %  "
-                          f"r_err {rep['r_err_deg_per_100m']:.4f} deg/100m")
-                results["odometry"] = odo
-            return results
-
-        if args.save_pose:
-            # deterministic no-augmentation datasets over BOTH splits: the
-            # saved poses feed pred_pose_online=False TRAINING
-            # (≙ save_pose main.py:636-703 run per sequence)
-            from deep_sfm_revisited_tpu.data import (
-                Compose,
-                KittiRawDataset,
-                KittiVODataset,
-                Normalize,
-            )
-            from deep_sfm_revisited_tpu.train.pose_eval import (
-                save_raw_pred_poses,
-                save_vo_pred_poses,
-            )
-
-            fwd = make_pose_forward(cfg, state)
-            tf = Compose([Normalize()])
-            written = []
-            for train_split in (True, False):
-                if cfg.data.dataset == "kitti_vo":
-                    ds = KittiVODataset(args.data, train=train_split,
-                                        skip=cfg.data.skip, transform=tf)
-                    w = save_vo_pred_poses(
-                        ds, fwd, args.data, jax.random.PRNGKey(0),
-                        pad_multiple=cfg.data.pad_multiple)
-                else:
-                    ds = KittiRawDataset(
-                        args.data, train=train_split,
-                        gt_depth_dir=args.gt_depth_dir, transform=tf,
-                        random_offset=False, random_fw_bw=False,
-                    )
-                    w = save_raw_pred_poses(
-                        ds, fwd, args.data, jax.random.PRNGKey(0),
-                        pad_multiple=cfg.data.pad_multiple)
-                written.extend(w if isinstance(w, list) else list(w))
-            print(f"saved predicted poses for {len(written)} entries")
-            return written
-
-        eval_fn = make_eval_step(model, cfg)
-        results = validate(val_loader, state, eval_fn,
-                           jax.random.PRNGKey(0),
-                           cross_host=jax.process_count() > 1)
-        print({k: round(v, 4) for k, v in results.items()})
-        return results
+        return run_with_backend_retry(run_eval_tools, label="cli-eval")
 
     restore_fn = (
         (lambda state: apply_pretrained(args, cfg, state))
@@ -418,8 +340,126 @@ def main(argv=None):
             or args.pretrained_depth or args.pretrained_torch)
         else None
     )
-    return fit(cfg, train_loader, val_loader, out_dir=args.out,
-               restore_fn=restore_fn, start_epoch=args.start_epoch)
+    # attempts=2: a retried fit restarts the epoch loop (per-epoch Orbax
+    # checkpoints under out/tag/ckpt survive for a manual --start-epoch
+    # resume if the second attempt also dies)
+    return run_with_backend_retry(
+        lambda: fit(cfg, train_loader, val_loader, out_dir=args.out,
+                    restore_fn=restore_fn, start_epoch=args.start_epoch),
+        attempts=2, label="cli-train",
+    )
+
+
+def _eval_tools(args, cfg, val_loader):
+    """Device-touching body of the -v / --record-pose / --save-pose
+    branches (wrapped by run_with_backend_retry in main)."""
+    import jax
+
+    from deep_sfm_revisited_tpu.train.loop import validate
+    from deep_sfm_revisited_tpu.train.trainer import (
+        ChainedEval,
+        create_train_state,
+    )
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    model, state = create_train_state(
+        cfg, rng, sample_shape=(1, *cfg.data.val_size)
+    )
+    state = apply_pretrained(args, cfg, state)
+
+    if args.record_pose:
+        from deep_sfm_revisited_tpu.train.pose_eval import (
+            record_pose_errors,
+        )
+
+        fwd_diag = make_pose_forward(cfg, state, diag=True)
+
+        def fwd(ref, target, K, key):  # plain form, same compile
+            return fwd_diag(ref, target, K, key)[0]
+
+        results = record_pose_errors(
+            val_loader, fwd_diag, jax.random.PRNGKey(0),
+            min_matches=cfg.pose.min_matches,
+        )
+        print({k: round(v, 6) for k, v in results.items()})
+
+        if cfg.data.dataset == "kitti_vo":
+            # full odometry report: chain the predicted poses of the
+            # test sequences and score ATE / RPE / KITTI segment
+            # errors (≙ save_pose + external kitti-odom-eval,
+            # README.md:69-71 — here in-framework)
+            from deep_sfm_revisited_tpu.data import (
+                Compose,
+                KittiVODataset,
+                Normalize,
+            )
+            from deep_sfm_revisited_tpu.train.pose_eval import (
+                evaluate_vo_odometry,
+            )
+
+            ds = KittiVODataset(args.data, train=False,
+                                skip=cfg.data.skip,
+                                transform=Compose([Normalize()]))
+            odo = evaluate_vo_odometry(
+                ds, fwd, jax.random.PRNGKey(0),
+                pad_multiple=cfg.data.pad_multiple,
+            )
+            for seq, rep in odo.items():
+                print(f"seq {seq:02d}: "
+                      f"ATE {rep['ate_rmse']:.3f} m  "
+                      f"t_err {rep['t_err_pct']:.2f} %  "
+                      f"r_err {rep['r_err_deg_per_100m']:.4f} deg/100m")
+            results["odometry"] = odo
+        return results
+
+    if args.save_pose:
+        # deterministic no-augmentation datasets over BOTH splits: the
+        # saved poses feed pred_pose_online=False TRAINING
+        # (≙ save_pose main.py:636-703 run per sequence)
+        from deep_sfm_revisited_tpu.data import (
+            Compose,
+            KittiRawDataset,
+            KittiVODataset,
+            Normalize,
+        )
+        from deep_sfm_revisited_tpu.train.pose_eval import (
+            save_raw_pred_poses,
+            save_vo_pred_poses,
+        )
+
+        fwd = make_pose_forward(cfg, state)
+        tf = Compose([Normalize()])
+        written = []
+        for train_split in (True, False):
+            if cfg.data.dataset == "kitti_vo":
+                ds = KittiVODataset(args.data, train=train_split,
+                                    skip=cfg.data.skip, transform=tf)
+                w = save_vo_pred_poses(
+                    ds, fwd, args.data, jax.random.PRNGKey(0),
+                    pad_multiple=cfg.data.pad_multiple)
+            else:
+                ds = KittiRawDataset(
+                    args.data, train=train_split,
+                    gt_depth_dir=args.gt_depth_dir, transform=tf,
+                    random_offset=False, random_fw_bw=False,
+                )
+                w = save_raw_pred_poses(
+                    ds, fwd, args.data, jax.random.PRNGKey(0),
+                    pad_multiple=cfg.data.pad_multiple)
+            written.extend(w if isinstance(w, list) else list(w))
+        print(f"saved predicted poses for {len(written)} entries")
+        return written
+
+    # production eval: ChainedEval fuses eval_chain_steps batches per
+    # dispatch and accumulates metrics on device (train/loop.py)
+    eval_fn = ChainedEval(model, cfg)
+    results = validate(val_loader, state, eval_fn,
+                       jax.random.PRNGKey(0),
+                       cross_host=jax.process_count() > 1,
+                       chain=cfg.train.eval_chain_steps)
+    print({k: round(v, 4) for k, v in results.items()})
+    return results
+
 
 
 if __name__ == "__main__":

@@ -181,6 +181,13 @@ class TrainConfig:
     pose_rot_weight: float = 20.0          # PoseNet rot-loss x20 (main.py:396-408)
     seed: int = 0
     print_freq: int = 20
+    # steps fused into one compiled program per dispatch in the
+    # production loops (train/loop.py). On the remote-TPU platform a
+    # dispatch costs ~27 ms and a device->host read ~25 ms; chaining
+    # amortizes both (ChainedStep / ChainedEval). 1 still accumulates
+    # metrics on device, it just dispatches per step.
+    chain_steps: int = 4
+    eval_chain_steps: int = 8
 
 
 @dataclass(frozen=True)

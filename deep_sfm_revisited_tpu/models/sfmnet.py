@@ -136,6 +136,7 @@ class SFMNet(nn.Module):
         flow_all = None
         inliers = None
         num_matches = None
+        rt = None
         if use_gt_pose:
             # oracle GT-pose path (models/SFMnet.py:148-155)
             assert pose_gt is not None
@@ -185,8 +186,11 @@ class SFMNet(nn.Module):
                 pose = pose.at[:, :3, 3].multiply(scale[:, None])
 
         if cfg.record_pose or (cfg.record_pose_eval and not train):
-            # early-return pose path (≙ models/SFMnet.py:157-158)
-            return {"pose": pose, "flow": flow}
+            # early-return pose path (≙ models/SFMnet.py:157-158);
+            # num_matches rides along so the pose tools can report the
+            # confident-candidate count / uniform-fallback rate the
+            # reference prints for degenerate pairs (SFMnet.py:205-241)
+            return {"pose": pose, "flow": flow, "num_matches": num_matches}
 
         depth_init, depth = self.depth_net(
             ref, target[:, None], pose[:, None], K, K_inv, train=train
@@ -195,6 +199,11 @@ class SFMNet(nn.Module):
             "flow": flow,
             "flow_all": flow_all,
             "pose": pose,
+            # raw PoseNet regression output (B, 6), un-stop-gradiented:
+            # the training objective adds the MSE pose loss on it
+            # (≙ `rot_and_trans` returned at models/SFMnet.py:171 and
+            # supervised at main.py:396-408); None on other pose paths
+            "rt": rt,
             "depth_init": depth_init,
             "depth": depth,
             "inliers": inliers,

@@ -29,9 +29,11 @@ def make_mesh(
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
-    return NamedSharding(mesh, P(mesh.axis_names[0]))
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Batch sharding over the data axis. `axis` selects which array
+    dimension is the batch (axis=1 for (chain, batch, ...) stacks fed to
+    the chained train step)."""
+    return NamedSharding(mesh, P(*([None] * axis), mesh.axis_names[0]))
 
 
 def hyp_sharding(mesh: Mesh) -> NamedSharding:
@@ -44,7 +46,7 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
     """Device-put a pytree of host arrays with batch-axis sharding."""
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

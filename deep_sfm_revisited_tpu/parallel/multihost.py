@@ -65,14 +65,22 @@ def reduce_metric_sums(sums: Dict[str, float],
     """
     keys = sorted(sums)
     vec = np.asarray(
-        [sums[k] for k in keys] + [counts[k] for k in keys], np.float32
+        [sums[k] for k in keys] + [counts[k] for k in keys], np.float64
     )
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        vec = np.asarray(
-            multihost_utils.process_allgather(vec), np.float64
-        ).sum(axis=0)
+        # gather as an (hi, lo) f32 float-pair so the full f64 meter sums
+        # survive the collective without depending on jax_enable_x64
+        # (a plain f32 pack would lose precision vs the single-host
+        # AverageMeter path on large eval sets)
+        hi = vec.astype(np.float32)
+        lo = (vec - hi).astype(np.float32)
+        g = np.asarray(
+            multihost_utils.process_allgather(np.stack([hi, lo])),
+            np.float64,
+        )  # (P, 2, 2n)
+        vec = (g[:, 0] + g[:, 1]).sum(axis=0)
     n = len(keys)
     return {
         k: float(vec[i] / max(vec[n + i], 1e-12))
@@ -80,14 +88,18 @@ def reduce_metric_sums(sums: Dict[str, float],
     }
 
 
-def global_batch(local_batch: Dict[str, np.ndarray], mesh: Mesh):
+def global_batch(local_batch: Dict[str, np.ndarray], mesh: Mesh,
+                 axis: int = 0):
     """Assemble per-host numpy batches into mesh-global jax.Arrays.
 
-    The leading (batch) axis is sharded over the mesh's first axis; each
-    host contributes its local slice (the standard
+    The batch axis (`axis`; 1 for (chain, batch, ...) stacks fed to the
+    chained train step) is sharded over the mesh's first axis; each host
+    contributes its local slice (the standard
     make_array_from_process_local_data flow).
     """
-    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    sharding = NamedSharding(
+        mesh, P(*([None] * axis), mesh.axis_names[0])
+    )
     return {
         k: jax.make_array_from_process_local_data(sharding, v)
         for k, v in local_batch.items()

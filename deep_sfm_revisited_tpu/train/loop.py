@@ -7,6 +7,14 @@ random photometric noise injection (`main.py:315-317`), per-epoch Orbax
 checkpoints with best-tracking (`main.py:287-288`), JSONL metric logging
 (≙ TensorBoard scalars `main.py:390-450`), and the Eigen-protocol
 aggregate report (`main.py:630`).
+
+Production paths are CHAINED (ChainedStep / ChainedEval): K steps fuse
+into one compiled program per dispatch, photometric noise runs inside
+the program, and metrics accumulate ON DEVICE — the host reads one small
+array per logging window instead of one ~25 ms device->host read per
+metric leaf per step (the round-2 channel-overhead finding; see
+PERF.md "Measurement methodology"). Plain single-step callables are
+still accepted for tests and ad-hoc drivers.
 """
 
 from __future__ import annotations
@@ -21,17 +29,29 @@ import numpy as np
 from deep_sfm_revisited_tpu.config import SfMConfig
 from deep_sfm_revisited_tpu.parallel.mesh import make_mesh, shard_batch
 from deep_sfm_revisited_tpu.train.trainer import (
+    ChainedEval,
+    ChainedStep,
     TrainState,
+    add_image_noise,
     create_train_state,
     make_eval_step,
     make_train_step,
 )
 from deep_sfm_revisited_tpu.utils.logging import AverageMeter, MetricLogger
 
+__all__ = [
+    "add_image_noise", "train_epoch", "validate", "fit",
+]
 
-def _to_device(batch: Dict[str, np.ndarray], mesh=None):
-    keep = {k: v for k, v in batch.items()
+
+def _filter_arrays(batch: Dict[str, np.ndarray]):
+    return {k: v for k, v in batch.items()
             if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"}
+
+
+def _to_device(batch: Dict[str, np.ndarray], mesh=None, axis: int = 0):
+    """Place a host batch (or a (chain, batch, ...) stack when axis=1)."""
+    keep = _filter_arrays(batch)
     if mesh is not None:
         if jax.process_count() > 1:
             # multi-host: each process holds its loader shard; assemble
@@ -40,22 +60,15 @@ def _to_device(batch: Dict[str, np.ndarray], mesh=None):
                 global_batch,
             )
 
-            return global_batch(keep, mesh)
-        return shard_batch(keep, mesh)
+            return global_batch(keep, mesh, axis=axis)
+        return shard_batch(keep, mesh, axis=axis)
     return jax.tree_util.tree_map(jnp.asarray, keep)
 
 
-def add_image_noise(batch, key, max_std=3.0 / 255):
-    """Random gaussian photometric noise (≙ `main.py:315-317`)."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    std = jax.random.uniform(k1, (), jnp.float32, 0.0, max_std)
-    out = dict(batch)
-    for k, kk in (("ref", k2), ("target", k3)):
-        out[k] = jnp.clip(
-            batch[k] + std * jax.random.normal(kk, batch[k].shape, jnp.float32),
-            -1.0, 1.0,
-        )
-    return out
+def _stack_window(buf):
+    """Stack a window of collated host batches along a new chain axis."""
+    keep = _filter_arrays(buf[0])
+    return {k: np.stack([b[k] for b in buf]) for k in keep}
 
 
 def train_epoch(
@@ -68,8 +81,18 @@ def train_epoch(
     metric_logger: Optional[MetricLogger] = None,
     mesh=None,
     print_freq: int = 20,
+    chain: int = 1,
 ):
-    """One epoch (≙ `train_epoch`, main.py:295-450)."""
+    """One epoch (≙ `train_epoch`, main.py:295-450).
+
+    `step_fn` is a ChainedStep (production: K fused steps per dispatch,
+    on-device metric sums) or a plain jitted single-step callable
+    (legacy/tests: per-step host reads)."""
+    if isinstance(step_fn, ChainedStep):
+        return _train_epoch_chained(
+            loader, state, step_fn, epoch, key, logger, metric_logger,
+            mesh, print_freq, max(chain, 1),
+        )
     losses = AverageMeter()
     batch_time = AverageMeter()
     data_time = AverageMeter()
@@ -97,6 +120,68 @@ def train_epoch(
     return state, losses.avg
 
 
+def _train_epoch_chained(
+    loader, state, step, epoch, key, logger, metric_logger, mesh,
+    print_freq, chain,
+):
+    nb = len(loader)
+    losses = AverageMeter()
+    step_time = AverageMeter()
+    names = None
+    acc = None
+    buf = []
+    done = 0            # steps dispatched so far this epoch
+    prev_read = None    # (steps, cumulative sums) at the last read
+    window_t0 = time.time()
+
+    def read_and_log(force=False):
+        nonlocal prev_read, window_t0
+        # ONE device->host read of the fused metric-sum vector
+        vals = np.asarray(jax.device_get(acc), np.float64)
+        p_steps, p_vals = prev_read
+        dn = done - p_steps
+        if dn <= 0:
+            return
+        mean = {k: (vals[j] - p_vals[j]) / dn
+                for j, k in enumerate(names)}
+        dt = (time.time() - window_t0) / dn
+        step_time.update(dt, n=dn)
+        losses.update(mean["loss"], n=dn)
+        gstep = epoch * nb + done
+        if metric_logger is not None:
+            # window means logged at the window-end step (the chained
+            # loop trades per-step scalar traces for zero channel cost)
+            metric_logger.scalars(mean, gstep)
+        if logger is not None:
+            logger.info(
+                f"Epoch: [{epoch}][{done}/{nb}]\t"
+                f"Time/step {dt:.3f}s\t Loss {mean['loss']:.4f} "
+                f"({losses.avg:.4f})"
+            )
+        prev_read = (done, vals)
+        window_t0 = time.time()
+
+    for i, host_batch in enumerate(loader):
+        buf.append(host_batch)
+        if len(buf) < chain and i < nb - 1:
+            continue
+        stacked = _stack_window(buf)
+        batches = _to_device(stacked, mesh, axis=1)
+        if acc is None:
+            one = {k: v[0] for k, v in stacked.items()}
+            names = step.metric_names(state, one)
+            acc = step.init_acc(state, one)
+            prev_read = (0, np.zeros(len(names)))
+        key, ks = jax.random.split(key)
+        state, acc = step(state, batches, ks, acc)
+        done += len(buf)
+        buf = []
+        boundary = (done % max(print_freq, chain)) < chain
+        if done >= nb or (boundary and done >= chain):
+            read_and_log()
+    return state, losses.avg
+
+
 def validate(
     loader,
     state: TrainState,
@@ -106,12 +191,20 @@ def validate(
     mesh=None,
     print_freq: int = 20,
     cross_host: bool = False,
+    chain: int = 1,
 ):
     """Eigen-protocol depth evaluation (≙ `validate`, main.py:460-631).
 
     With `cross_host=True` (multi-host eval: each process runs its
     loader shard), the final metrics are globally reduced over all
-    processes — every host returns the same full-eval-set averages."""
+    processes — every host returns the same full-eval-set averages.
+    `eval_fn` is a ChainedEval (production) or a plain jitted
+    (state, batch, key) -> (metrics, out) callable (legacy/tests)."""
+    if isinstance(eval_fn, ChainedEval):
+        return _validate_chained(
+            loader, state, eval_fn, key, logger, mesh, print_freq,
+            cross_host, max(chain, 1),
+        )
     meters: Dict[str, AverageMeter] = {}
     for i, host_batch in enumerate(loader):
         key, k = jax.random.split(key)
@@ -139,6 +232,71 @@ def validate(
     if logger is not None:
         logger.info(
             " ".join(f"{k} {v:.4f}" for k, v in sorted(final.items()))
+        )
+    return final
+
+
+def _validate_chained(
+    loader, state, ev, key, logger, mesh, print_freq, cross_host, chain,
+):
+    nb = len(loader)
+    names = None
+    sums = count = None
+    buf = []
+    done = 0
+    next_print = 0
+
+    def flush(key, sums, count, buf):
+        stacked = _stack_window(buf)
+        batches = _to_device(stacked, mesh, axis=1)
+        key, k = jax.random.split(key)
+        sums, count = ev(state, batches, k, sums, count)
+        return key, sums, count
+
+    def shapes_of(b):
+        return tuple(sorted((k, v.shape) for k, v in
+                            _filter_arrays(b).items()))
+
+    for i, host_batch in enumerate(loader):
+        # windows must be shape-uniform (one compiled program per
+        # (window, shapes) combo); KITTI eval pads everything to one
+        # shape, synthetic suites may not — flush on change
+        if buf and shapes_of(host_batch) != shapes_of(buf[0]):
+            key, sums, count = flush(key, sums, count, buf)
+            done += len(buf)
+            buf = []
+        buf.append(host_batch)
+        if names is None:
+            one = _filter_arrays(host_batch)
+            names = ev.metric_names(state, one)
+            sums, count = ev.init_acc(state, one)
+        if len(buf) == chain or i == nb - 1:
+            key, sums, count = flush(key, sums, count, buf)
+            done += len(buf)
+            buf = []
+        if logger is not None and done >= next_print and done > 0:
+            v = np.asarray(jax.device_get(sums), np.float64)
+            c = float(count)
+            ia = names.index("abs_rel")
+            logger.info(f"Test: [{done}/{nb}]\t abs_rel {v[ia] / c:.4f}")
+            next_print = done + print_freq
+    v = np.asarray(jax.device_get(sums), np.float64)
+    c = float(count)
+    if cross_host:
+        from deep_sfm_revisited_tpu.parallel.multihost import (
+            reduce_metric_sums,
+        )
+
+        final = reduce_metric_sums(
+            {k: float(v[j]) for j, k in enumerate(names)},
+            {k: c for k in names},
+        )
+    else:
+        final = {k: float(v[j]) / max(c, 1e-12)
+                 for j, k in enumerate(names)}
+    if logger is not None:
+        logger.info(
+            " ".join(f"{k} {val:.4f}" for k, val in sorted(final.items()))
         )
     return final
 
@@ -185,8 +343,8 @@ def fit(
     mesh = (make_mesh(cfg.mesh)
             if cfg.mesh.model_parallel > 1 or jax.process_count() > 1
             else None)
-    step_fn = make_train_step(model, cfg)
-    eval_fn = make_eval_step(model, cfg)
+    step_fn = ChainedStep(model, cfg)
+    eval_fn = ChainedEval(model, cfg)
 
     best = np.inf
     key = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -194,13 +352,14 @@ def fit(
         key, k_ep, k_val = jax.random.split(key, 3)
         state, avg_loss = train_epoch(
             train_loader, state, step_fn, epoch, k_ep, logger, mlog, mesh,
-            cfg.train.print_freq,
+            cfg.train.print_freq, chain=cfg.train.chain_steps,
         )
         metric = avg_loss
         if val_loader is not None:
             results = validate(val_loader, state, eval_fn, k_val, logger,
                                mesh, cfg.train.print_freq,
-                               cross_host=jax.process_count() > 1)
+                               cross_host=jax.process_count() > 1,
+                               chain=cfg.train.eval_chain_steps)
             metric = results["abs_rel"]
         is_best = metric < best
         best = min(metric, best)

@@ -24,24 +24,69 @@ import numpy as np
 from deep_sfm_revisited_tpu.train.metrics import motion_errors
 
 
+def _invert_pose(pose: jnp.ndarray) -> jnp.ndarray:
+    """Rigid inverse of (B, 3, 4) transforms: [R^T | -R^T t]."""
+    R = pose[:, :3, :3]
+    t = pose[:, :3, 3:]
+    Rt = jnp.swapaxes(R, 1, 2)
+    return jnp.concatenate([Rt, -Rt @ t], axis=-1)
+
+
 def record_pose_errors(
     loader,
-    pose_forward: Callable,  # (batch, key) -> (B, 3, 4) predicted pose
+    pose_forward: Callable,  # (ref, target, K, key) -> (B, 3, 4)
+    #                          or -> ((B, 3, 4), num_matches) diag form
     key: jax.Array,
     logger=None,
+    min_matches: int = 0,
 ) -> Dict[str, float]:
-    """Aggregate (rot, trans-dist, trans-angle) errors over a loader."""
-    errs: List[np.ndarray] = []
+    """Aggregate (rot, trans-dist, trans-angle) errors over a loader, in
+    BOTH pair directions (≙ the RECORD_POSE branch, main.py:504-529: the
+    reference runs the model forward AND backward per pair and keeps
+    `errors_fw_l` / `errors_bw_l`).
+
+    The loader's (ref, target, pose_gt) orientation is the backward
+    direction; the forward pass swaps the images and scores against the
+    rigid inverse of pose_gt (the loaders' pose_gt_fw ≙ pose_gt_bw^-1 by
+    construction in the reference's KITTI_loader).
+    """
+    errs_fw: List[np.ndarray] = []
+    errs_bw: List[np.ndarray] = []
+    match_counts: List[np.ndarray] = []
     for batch in loader:
-        key, k = jax.random.split(key)
-        pred = pose_forward(batch, k)
-        gt = jnp.asarray(batch["pose_gt"])
-        r, td, ta = motion_errors(pred, gt)
-        errs.append(np.stack([np.asarray(r), np.asarray(td),
-                              np.asarray(ta)], axis=-1))
-    agg = np.concatenate(errs, axis=0).mean(axis=0)
-    out = {"rot_err": float(agg[0]), "trans_dist": float(agg[1]),
-           "trans_angle": float(agg[2])}
+        key, k1, k2 = jax.random.split(key, 3)
+        ref = jnp.asarray(batch["ref"])
+        tgt = jnp.asarray(batch["target"])
+        K = jnp.asarray(batch["intrinsics"])
+        gt_bw = jnp.asarray(batch["pose_gt"])
+        pred_bw = pose_forward(ref, tgt, K, k1)
+        pred_fw = pose_forward(tgt, ref, K, k2)
+        if isinstance(pred_bw, tuple):  # diag form carries num_matches
+            pred_bw, nm = pred_bw
+            pred_fw, _ = pred_fw
+            if nm is not None:
+                match_counts.append(np.asarray(nm))
+        for errs, pred, gt in (
+            (errs_bw, pred_bw, gt_bw),
+            (errs_fw, pred_fw, _invert_pose(gt_bw)),
+        ):
+            r, td, ta = motion_errors(pred, gt)
+            errs.append(np.stack([np.asarray(r), np.asarray(td),
+                                  np.asarray(ta)], axis=-1))
+    agg_bw = np.concatenate(errs_bw, axis=0).mean(axis=0)
+    agg_fw = np.concatenate(errs_fw, axis=0).mean(axis=0)
+    out = {
+        # unsuffixed = backward direction (the loader orientation, and
+        # what the depth pipeline consumes) for continuity
+        "rot_err": float(agg_bw[0]), "trans_dist": float(agg_bw[1]),
+        "trans_angle": float(agg_bw[2]),
+        "rot_err_fw": float(agg_fw[0]), "trans_dist_fw": float(agg_fw[1]),
+        "trans_angle_fw": float(agg_fw[2]),
+    }
+    if match_counts:
+        nm = np.concatenate(match_counts, axis=0).astype(np.float64)
+        out["num_matches"] = float(nm.mean())
+        out["uniform_fallback"] = float((nm < min_matches).mean())
     if logger is not None:
         logger.info(f"pose errors: {out}")
     return out
@@ -225,15 +270,41 @@ def evaluate_vo_odometry(
     report: Dict[int, Dict[str, float]] = {}
     for seq, by_frame in sorted(rels.items()):
         fids = sorted(by_frame)
-        # longest contiguous run from the first frame
-        run = [by_frame[fids[0]]]
+        # split into EVERY contiguous run (a single missing pair must not
+        # silently drop the rest of the sequence from the score)
+        segments: List[List[int]] = [[fids[0]]]
         for a, b in zip(fids, fids[1:]):
-            if b != a + dataset.skip:
-                break
-            run.append(by_frame[b])
-        est = np.asarray(chain_poses(jnp_.asarray(np.stack(run))))
-        gt = dataset.poses[seq][fids[0]::dataset.skip][: len(est)]
-        rep = evaluate_trajectory(est, gt)
+            if b == a + dataset.skip:
+                segments[-1].append(b)
+            else:
+                segments.append([b])
+        seg_reps = []
+        for seg in segments:
+            est = np.asarray(chain_poses(
+                jnp_.asarray(np.stack([by_frame[f] for f in seg]))
+            ))
+            gt = dataset.poses[seq][seg[0]::dataset.skip][: len(est)]
+            seg_reps.append((len(est), evaluate_trajectory(est, gt)))
+        # frame-weighted aggregate over segments; a gapless sequence
+        # reduces to the single-segment report exactly
+        total = sum(n for n, _ in seg_reps)
+        rep: Dict[str, float] = {}
+        for k in seg_reps[0][1]:
+            if k == "per_length":
+                continue
+            vals = [(n, r[k]) for n, r in seg_reps
+                    if np.isfinite(r[k])]
+            w = sum(n for n, _ in vals)
+            rep[k] = (sum(n * v for n, v in vals) / w) if w else float("nan")
+        rep["per_length"] = seg_reps[0][1]["per_length"]
+        rep["n_segments"] = len(segments)
+        rep["frames_scored"] = total
+        if len(segments) > 1 and logger is not None:
+            logger.warning(
+                f"seq {seq:02d}: {len(segments)} disjoint segments "
+                f"(missing pairs at the gaps) — metrics are the "
+                f"frame-weighted aggregate over all of them"
+            )
         report[seq] = rep
         if logger is not None:
             logger.info(

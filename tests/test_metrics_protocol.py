@@ -138,7 +138,7 @@ def test_record_pose_eval_early_return():
         key=jax.random.PRNGKey(2)))()
     out_eval = model.apply(v, ref, tgt, K, train=False,
                            key=jax.random.PRNGKey(2))
-    assert set(out_eval.keys()) == {"pose", "flow"}
+    assert set(out_eval.keys()) == {"pose", "flow", "num_matches"}
     out_train = model.apply(v, ref, tgt, K, train=True,
                             key=jax.random.PRNGKey(2),
                             mutable=["batch_stats"])[0]

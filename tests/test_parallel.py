@@ -60,6 +60,85 @@ def test_sharded_ransac_matches_unsharded():
     assert int(sharded["inliers"][0]) == int(base["inliers"][0])
 
 
+def test_sharded_ransac_point_axis_matches_unsharded():
+    """Point-axis sharding (Sampson scoring + polish Gauss-Newton normal
+    equations psum over the mesh) must reproduce the unsharded result:
+    the per-point terms are elementwise, only their reductions move onto
+    collectives. polish=True exercises the J^T W J / J^T W r psum path."""
+    from deep_sfm_revisited_tpu.ops import essential as ess
+    from tests.test_essential import make_scene
+
+    x1, x2, R, t, E_true = make_scene(jax.random.PRNGKey(2), n_points=128,
+                                      noise=5e-4)
+    x1b, x2b = x1[None], x2[None]
+    key = jax.random.PRNGKey(3)
+    kw = dict(num_hypotheses=16, ransac_iter=1, polish=True, polish_iters=3)
+
+    base = ess.ransac_pose(x1b, x2b, key, **kw)
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    sh = NamedSharding(mesh, P("data", "model"))
+    sharded = jax.jit(
+        lambda a, b, k: ess.ransac_pose(a, b, k, point_sharding=sh, **kw)
+    )(x1b, x2b, key)
+
+    # integer inlier count is an order-independent sum of 0/1 — exact
+    assert int(sharded["inliers"][0]) == int(base["inliers"][0])
+    # f64 GN reductions may reassociate across devices — tiny tolerance
+    np.testing.assert_allclose(np.asarray(sharded["E"]),
+                               np.asarray(base["E"]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sharded["P"]),
+                               np.asarray(base["P"]), atol=1e-7)
+
+
+def test_sharded_psnet_cost_matches_unsharded():
+    """Plane-sweep D-axis sharding must not change PSNet's output: the
+    cost volume is partitioned over the mesh's model axis and the
+    hourglass runs on D-slices, reduced identically."""
+    import __graft_entry__ as g
+    from deep_sfm_revisited_tpu.models.psnet import PSNet
+
+    cfg = g._tiny_cfg(nlabel=8)
+    b, h, w = 1, 32, 48
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    ref = jax.random.uniform(k1, (b, h, w, 3), jnp.float32, -1, 1)
+    tgt = jnp.roll(ref, 2, axis=2)
+    K = jnp.broadcast_to(
+        jnp.asarray([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]],
+                    jnp.float32), (b, 3, 3))
+    K_inv = jnp.linalg.inv(K)
+    pose = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
+                         jnp.asarray([[0.0], [0.0], [1.0]], jnp.float32)],
+                        axis=1), (b, 3, 4))
+
+    nt = cfg.train.norm_target if cfg.train.rescale_depth else 0.0
+    base_net = PSNet(cfg.depth, norm_target=nt, dtype=jnp.float32)
+    variables = jax.jit(
+        lambda r, tg, p: base_net.init(jax.random.PRNGKey(5), r, tg[:, None],
+                                       p[:, None], K, K_inv, train=False)
+    )(ref, tgt, pose)
+
+    out_base = jax.jit(
+        lambda v, r, tg, p: base_net.apply(v, r, tg[:, None], p[:, None],
+                                           K, K_inv, train=False)
+    )(variables, ref, tgt, pose)
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    sh = NamedSharding(mesh, P("data", "model"))
+    shard_net = PSNet(cfg.depth, norm_target=nt, dtype=jnp.float32,
+                      cost_sharding=sh)
+    out_sh = jax.jit(
+        lambda v, r, tg, p: shard_net.apply(v, r, tg[:, None], p[:, None],
+                                            K, K_inv, train=False)
+    )(variables, ref, tgt, pose)
+
+    for a, b_ in zip(out_base, out_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.heavy
 def test_dryrun_multichip():
     """The driver's sharded-train-step entry point (also run by the

@@ -188,6 +188,59 @@ def test_evaluate_vo_odometry_oracle(vo_root):
     assert len(calls) == 3  # 4 frames -> 3 consecutive links
 
 
+def test_evaluate_vo_odometry_scores_across_gaps():
+    """A missing pair mid-sequence must NOT drop the rest of the sequence:
+    every contiguous segment is chained and scored, and the report says
+    how many segments there were (round-2 weakness: only the run from the
+    first frame was evaluated)."""
+    from deep_sfm_revisited_tpu.train.pose_eval import evaluate_vo_odometry
+
+    n_frames = 8
+    gt = np.stack([
+        np.concatenate([np.eye(3), [[0.0], [0.0], [1.0 * i]]], axis=1)
+        for i in range(n_frames)
+    ]).astype(np.float64)
+
+    class GappyVO:
+        skip = 1
+        poses = {9: gt}
+
+        def __len__(self):
+            return n_frames - 1
+
+        def _pair_index(self, i):
+            if i == 3:  # boundary-style fallback pair: link (3,4) missing
+                return (3, 2)
+            return (i, i + 1)
+
+        def __getitem__(self, i, rng=None):
+            return {
+                "ref": np.zeros((16, 16, 3), np.float32),
+                "target": np.zeros((16, 16, 3), np.float32),
+                "intrinsics": np.eye(3, dtype=np.float32),
+                "seq": np.asarray(9),
+                "frame_id1": np.asarray(i),
+            }
+
+    calls = []
+
+    def oracle(ref, tgt, K, key):
+        calls.append(1)
+        # exact relative transform of the straight-line GT: the later
+        # frame sits 1 m behind in the earlier frame's coords
+        rel = np.concatenate([np.eye(3), [[0.0], [0.0], [1.0]]], axis=1)
+        return jnp.asarray(rel, jnp.float32)[None]
+
+    report = evaluate_vo_odometry(GappyVO(), oracle, jax.random.PRNGKey(0),
+                                  pad_multiple=16)
+    rep = report[9]
+    assert rep["n_segments"] == 2
+    # both segments scored: 3 links + 3 links -> 4 + 4 poses
+    assert rep["frames_scored"] == 8
+    assert len(calls) == 6
+    assert rep["ate_rmse"] < 1e-4  # oracle is exact on every segment
+
+
 def test_odometry_smoke_saved_poses_to_ate(vo_root, tmp_path):
     """Chain saved per-pair poses into a trajectory and score ATE vs the
     GT trajectory — the reference outsources this to kitti-odom-eval

@@ -216,6 +216,182 @@ def test_train_step_descends_and_freezes_flow():
     )
 
 
+def test_record_pose_errors_scores_both_directions():
+    """record_pose evaluates forward AND backward per pair
+    (≙ main.py:504-529). With a predictor that returns exactly the
+    backward GT in both directions and an asymmetric GT pose, the bw
+    errors must be ~0 while the fw errors (vs the rigid inverse) are
+    large — a single-direction implementation can't tell them apart."""
+    from deep_sfm_revisited_tpu.train.pose_eval import record_pose_errors
+
+    a = 0.3
+    R = np.asarray([
+        [np.cos(a), -np.sin(a), 0.0],
+        [np.sin(a), np.cos(a), 0.0],
+        [0.0, 0.0, 1.0],
+    ], np.float32)
+    t = np.asarray([0.8, 0.0, 0.6], np.float32)
+    gt_bw = np.concatenate([R, t[:, None]], axis=1)
+    batch = {
+        "ref": np.zeros((1, 8, 8, 3), np.float32),
+        "target": np.zeros((1, 8, 8, 3), np.float32),
+        "intrinsics": np.eye(3, dtype=np.float32)[None],
+        "pose_gt": gt_bw[None],
+    }
+
+    def fwd(ref, target, K, key):
+        return jnp.asarray(gt_bw)[None]
+
+    out = record_pose_errors([batch], fwd, jax.random.PRNGKey(0))
+    assert out["rot_err"] < 1e-4
+    assert out["trans_angle"] < 1e-2
+    # fw direction compares the same prediction against gt_bw^-1:
+    # rotation error is exactly 2a (R vs R^-1)
+    np.testing.assert_allclose(out["rot_err_fw"], 2 * a, atol=1e-4)
+    assert out["trans_angle_fw"] > 0.1
+
+
+def test_posenet_training_receives_pose_loss_gradients():
+    """With pose.estimator=POSENET the objective must include the MSE
+    pose loss (rot x20, ≙ main.py:396-408): pose_net params get updated
+    and the step reports a finite pose_loss metric. Guards the round-2
+    gap where pose_regression_loss existed but was never applied."""
+    from deep_sfm_revisited_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+    import __graft_entry__ as g
+
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
+    cfg = cfg.override(**{"pose.estimator": "POSENET",
+                          "train.fix_flownet": True})
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(2, 64, 96),
+        steps_per_epoch=10,
+    )
+    step = make_train_step(model, cfg)
+    batch = g._batch(2, 64, 96)
+    p0_pose = np.asarray(
+        jax.tree_util.tree_leaves(state.params["pose_net"])[0])
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "pose_loss" in metrics and np.isfinite(float(metrics["pose_loss"]))
+    assert float(metrics["pose_loss"]) > 0.0
+    # the pose net receives gradients even with the flow net frozen:
+    # only the pose loss (and depth-loss leakage through the pose input)
+    # can reach it
+    assert not np.array_equal(
+        jax.tree_util.tree_leaves(state2.params["pose_net"])[0], p0_pose
+    )
+
+
+def test_chained_train_step_matches_sequential_singles():
+    """ChainedStep (K fused steps + on-device metric sums) must be
+    step-for-step identical to K sequential single steps with the same
+    key schedule — the chained production loop changes WHERE the loop
+    runs, not the math."""
+    from deep_sfm_revisited_tpu.train.trainer import (
+        ChainedStep,
+        create_train_state,
+        make_train_step,
+    )
+    import __graft_entry__ as g
+
+    # f32 compute: under bf16, first-step Adam (~lr * sign(grad)) turns
+    # scan-vs-standalone compile-order rounding into ±lr param flips —
+    # that noise is a property of bf16 + Adam, not of the chain
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
+    cfg = cfg.override(**{"train.mixed_prec": False})
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 96),
+        steps_per_epoch=10,
+    )
+    state_ref = jax.tree_util.tree_map(lambda x: x + 0, state)
+
+    b1 = g._batch(1, 64, 96, key=jax.random.PRNGKey(10))
+    b2 = g._batch(1, 64, 96, key=jax.random.PRNGKey(11))
+    batches = {k: jnp.stack([b1[k], b2[k]]) for k in b1}
+
+    chained = ChainedStep(model, cfg, noise=False)
+    one = {k: v[0] for k, v in batches.items()}
+    names = chained.metric_names(state, one)
+    acc = chained.init_acc(state, one)
+    key0 = jax.random.PRNGKey(42)
+    state_c, acc = chained(state, batches, key0, acc)
+
+    # replicate the chain body's key schedule on the host
+    single = make_train_step(model, cfg)
+    key = key0
+    vecs = []
+    s = state_ref
+    for b in (b1, b2):
+        key, ks = jax.random.split(key)
+        s, metrics = single(s, b, ks)
+        vecs.append(np.asarray(
+            jnp.stack([metrics[k].astype(jnp.float32)
+                       for k in sorted(metrics)])))
+    assert tuple(sorted(metrics)) == names
+
+    # Cross-program criterion: early Adam updates are ~lr * sign(grad),
+    # so params whose gradient sits at ~0 can flip by ±lr from mere
+    # compile-order rounding (scan body vs standalone program). Require
+    # (a) every diff bounded by ~2 optimizer steps and (b) >99% of
+    # params bitwise-tight — a LOGIC divergence (wrong key schedule,
+    # wrong batch slicing, dropped step) violates both immediately.
+    lr = cfg.train.lr
+    n_bad = n_tot = 0
+    for a, b_ in zip(jax.tree_util.tree_leaves(state_c.params),
+                     jax.tree_util.tree_leaves(s.params)):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        d = np.abs(a - b_)
+        assert d.max() <= 2.2 * lr
+        n_bad += int(np.sum(d > 1e-5 + 1e-4 * np.abs(b_)))
+        n_tot += d.size
+    assert n_bad / n_tot < 0.01, (n_bad, n_tot)
+    np.testing.assert_allclose(np.asarray(acc), np.sum(vecs, axis=0),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_chained_validate_matches_plain_validate():
+    """_validate_chained must reproduce the plain per-batch validate
+    averages, including a mid-stream shape change (flush on change)."""
+    from deep_sfm_revisited_tpu.train.loop import validate
+    from deep_sfm_revisited_tpu.train.trainer import (
+        ChainedEval,
+        create_train_state,
+        make_eval_step,
+    )
+    import __graft_entry__ as g
+
+    # GT-pose eval: the metric computation is key-independent, so the
+    # chained and plain loops' different key schedules cannot matter —
+    # what's under test is the window stacking + on-device accumulation
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
+    cfg = cfg.override(use_gt_pose=True)
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 96),
+        steps_per_epoch=10,
+    )
+    host_batches = [
+        {k: np.asarray(v) for k, v in
+         g._batch(1, 64, 96, key=jax.random.PRNGKey(20 + i)).items()}
+        for i in range(3)
+    ] + [
+        {k: np.asarray(v) for k, v in
+         g._batch(1, 64, 112, key=jax.random.PRNGKey(30)).items()}
+    ]
+
+    plain = validate(host_batches, state, make_eval_step(model, cfg),
+                     jax.random.PRNGKey(7))
+    chained = validate(host_batches, state, ChainedEval(model, cfg),
+                       jax.random.PRNGKey(7), chain=2)
+    assert set(plain) == set(chained)
+    for k in plain:
+        np.testing.assert_allclose(chained[k], plain[k],
+                                   rtol=2e-4, atol=1e-5)
+
+
 @pytest.mark.heavy
 def test_checkpoint_roundtrip(tmp_path):
     from deep_sfm_revisited_tpu.train.checkpoint import (
