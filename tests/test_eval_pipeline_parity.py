@@ -14,9 +14,13 @@ must produce the same abs_rel/rmse/... numbers. The torch side is an
 independent numpy transcription of the reference protocol formulas (not
 of our code), so a wiring bug on either leg fails the comparison.
 
-Also pins a GOLDEN accuracy number for the fixture so eval regressions
-are caught without KITTI data (the abs_rel <= 0.055 target of BASELINE.md
-remains unfalsifiable offline; this makes the *pipeline* falsifiable).
+GOLDEN PINS (VERDICT round-2 weak #2): both fixtures' metric values are
+pinned exactly (tol 1e-3) so a regression that shifts BOTH legs equally
+(collate, shared protocol constants, crop fractions, clamp, median) still
+fails loudly. Two fixtures: A exercises the plain path; B uses different
+raw dims, a stronger pose scale, and full-frame GT points so the Eigen
+crop edges and the median rescale are load-bearing. If a fixture changes,
+re-derive BOTH sides together and say why in the commit.
 """
 
 import numpy as np
@@ -32,30 +36,68 @@ pytestmark = pytest.mark.skipif(
 )
 
 NLABEL = 8
-RAW_H, RAW_W = 120, 200
 PAD = 64  # stand-in for the /128 rule at test scale; both sides use it
 
+FIXTURES = {
+    # name: (seed, raw_h, raw_w, rot_angle, translation, depth_lo, depth_hi,
+    #        full_frame_points)
+    "A": (0, 120, 200, 0.03, (0.7, 0.1, 0.7), 2.0, 7.5, False),
+    # B: other raw dims (crop window moves), |t| = 1.4 (strong RESCALE),
+    # GT over the FULL frame (Eigen crop must cut rows/cols), wider depth
+    # range (clamp at nlabel*min_depth strongly active on both tails)
+    "B": (1, 104, 168, -0.05, (-0.9, 0.2, 1.05), 1.0, 12.0, True),
+}
 
-def _fixture_pair(seed=0):
+# pinned metric values for (fixture, seeded torch weights); re-derive
+# with `python -m tests.test_eval_pipeline_parity` — update together
+# with any fixture change and say why in the commit
+GOLDEN = {
+    "A": {
+        "a1": 0.411660,
+        "a2": 0.819760,
+        "a3": 0.923453,
+        "abs_rel": 0.342087,
+        "l1_inv": 0.071227,
+        "rmse": 1.553094,
+        "rmse_log": 0.361665,
+        "sc_inv": 0.355524,
+        "sq_rel": 0.645812,
+    },
+    "B": {
+        "a1": 0.259986,
+        "a2": 0.518619,
+        "a3": 0.783345,
+        "abs_rel": 0.753014,
+        "l1_inv": 0.117403,
+        "rmse": 3.232748,
+        "rmse_log": 0.651136,
+        "sc_inv": 0.631827,
+        "sq_rel": 3.074930,
+    },
+}
+
+
+def _fixture_pair(name):
+    seed, raw_h, raw_w, ang, t, dlo, dhi, full = FIXTURES[name]
     rng = np.random.default_rng(seed)
-    ref = rng.uniform(-1, 1, (1, RAW_H, RAW_W, 3)).astype(np.float32)
-    tgt = rng.uniform(-1, 1, (1, RAW_H, RAW_W, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (1, raw_h, raw_w, 3)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (1, raw_h, raw_w, 3)).astype(np.float32)
     K = np.asarray(
-        [[[100.0, 0, RAW_W / 2], [0, 100.0, RAW_H / 2], [0, 0, 1]]],
+        [[[100.0, 0, raw_w / 2], [0, 100.0, raw_h / 2], [0, 0, 1]]],
         np.float32)
-    ang = 0.03
     R = np.asarray([
         [np.cos(ang), -np.sin(ang), 0.0],
         [np.sin(ang), np.cos(ang), 0.0],
         [0.0, 0.0, 1.0],
     ])
-    t = np.asarray([0.7, 0.1, 0.7])
+    t = np.asarray(t)
     pose = np.concatenate([R, t[:, None]], axis=1)[None].astype(np.float32)
-    # sparse LiDAR-like GT depth in the Eigen crop region
-    gt = np.zeros((1, RAW_H, RAW_W), np.float32)
-    ys = rng.integers(RAW_H // 3, RAW_H, 3000)
-    xs = rng.integers(0, RAW_W, 3000)
-    gt[0, ys, xs] = rng.uniform(2.0, 7.5, 3000).astype(np.float32)
+    # sparse LiDAR-like GT depth
+    gt = np.zeros((1, raw_h, raw_w), np.float32)
+    y_lo = 0 if full else raw_h // 3
+    ys = rng.integers(y_lo, raw_h, 3000)
+    xs = rng.integers(0, raw_w, 3000)
+    gt[0, ys, xs] = rng.uniform(dlo, dhi, 3000).astype(np.float32)
     return ref, tgt, K, pose, gt
 
 
@@ -82,11 +124,12 @@ def _reference_protocol_metrics(tm, refcfg, ref, tgt, K, pose, gt):
     import torch
     import torch.nn.functional as F
 
+    raw_h, raw_w = gt.shape[1:]
     ref_t = torch.from_numpy(ref.transpose(0, 3, 1, 2))
     tgt_t = torch.from_numpy(tgt.transpose(0, 3, 1, 2))
-    h_new = int(np.ceil(RAW_H / PAD) * PAD)
-    w_new = int(np.ceil(RAW_W / PAD) * PAD)
-    padding = (0, w_new - RAW_W, 0, h_new - RAW_H)
+    h_new = int(np.ceil(raw_h / PAD) * PAD)
+    w_new = int(np.ceil(raw_w / PAD) * PAD)
+    padding = (0, w_new - raw_w, 0, h_new - raw_h)
     ref_t = F.pad(ref_t, padding, "replicate")
     tgt_t = F.pad(tgt_t, padding, "replicate")
 
@@ -101,12 +144,12 @@ def _reference_protocol_metrics(tm, refcfg, ref, tgt, K, pose, gt):
     scale = np.linalg.norm(pose[0, :3, 3])
     depth = depth * (scale / refcfg.NORM_TARGET)
     # crop to raw (main.py:543)
-    depth = depth[:, :RAW_H, :RAW_W]
+    depth = depth[:, :raw_h, :raw_w]
 
     # Eigen mask on raw dims (main.py:568-574)
     mask = (gt > 0) & (gt < 80)
-    crop = np.array([0.40810811 * RAW_H, 0.99189189 * RAW_H,
-                     0.03594771 * RAW_W, 0.96405229 * RAW_W]).astype(
+    crop = np.array([0.40810811 * raw_h, 0.99189189 * raw_h,
+                     0.03594771 * raw_w, 0.96405229 * raw_w]).astype(
                          np.int32)
     crop_mask = np.zeros_like(mask)
     crop_mask[:, crop[0]:crop[1], crop[2]:crop[3]] = True
@@ -179,8 +222,9 @@ def _our_pipeline_metrics(tm, ref, tgt, K, pose, gt):
     return {k: float(v) for k, v in metrics.items()}
 
 
-def test_eval_pipeline_parity_and_golden():
-    ref, tgt, K, pose, gt = _fixture_pair()
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_eval_pipeline_parity_and_golden(name):
+    ref, tgt, K, pose, gt = _fixture_pair(name)
     tm, refcfg = _torch_psnet()
     want = _reference_protocol_metrics(tm, refcfg, ref, tgt, K, pose, gt)
     got = _our_pipeline_metrics(tm, ref, tgt, K, pose, gt)
@@ -189,8 +233,26 @@ def test_eval_pipeline_parity_and_golden():
         assert abs(got[k] - float(v)) < 2e-4 + 1e-3 * abs(float(v)), (
             k, got[k], float(v))
 
-    # golden pin: eval regressions must fail loudly. Random-weight PSNet
-    # on this fixture (values re-derived if the fixture changes — update
-    # BOTH sides together and say why in the commit).
-    assert 0.0 < got["abs_rel"] < 2.0
-    assert got["a1"] <= 1.0
+    # golden pin: any protocol-constant edit (crop fractions, clamp range,
+    # median scaling, NORM_TARGET, collate padding) shifts these values
+    # and must fail — even if it shifts both legs equally
+    golden = GOLDEN[name]
+    assert golden, f"golden values missing for fixture {name}"
+    for k, v in golden.items():
+        assert abs(float(want[k]) - v) < 1e-3 + 1e-3 * abs(v), (
+            "torch-side drift", k, float(want[k]), v)
+        assert abs(got[k] - v) < 1e-3 + 1e-3 * abs(v), (
+            "jax-side drift", k, got[k], v)
+
+
+if __name__ == "__main__":
+    # golden derivation: python tests/test_eval_pipeline_parity.py
+    for name in sorted(FIXTURES):
+        ref, tgt, K, pose, gt = _fixture_pair(name)
+        tm, refcfg = _torch_psnet()
+        want = _reference_protocol_metrics(tm, refcfg, ref, tgt, K, pose,
+                                           gt)
+        print(f'    "{name}": {{')
+        for k in sorted(want):
+            print(f'        "{k}": {float(want[k]):.6f},')
+        print("    },")
