@@ -115,6 +115,98 @@ def time_eval(n_pairs=32, chain=8):
     return ms
 
 
+def _stack_device(batches):
+    import numpy as np
+
+    return {k: jnp.asarray(np.stack([b[k] for b in batches]))
+            for k in batches[0]}
+
+
+def time_train_device_fed(n_steps=32, chain=4, print_freq=20):
+    """The loop MACHINERY number: windows pre-staged on device, so the
+    host->device transfer (PCIe on a real TPU host; the HTTP tunnel
+    here — a platform artifact) is excluded. Replicates train_epoch's
+    dispatch/read cadence exactly: one chained dispatch per window, one
+    acc read per print window."""
+    cfg = SfMConfig.kitti(nlabel=128).override(**RECIPE)
+    b, (h, w) = 1, cfg.data.train_size
+    print(f"[train-dev] b={b} {h}x{w} nlabel=128 chain={chain}",
+          flush=True)
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(b, h, w),
+        steps_per_epoch=1000)
+    step = ChainedStep(model, cfg)
+    host = synth_batches(n_steps, b, h, w, seed=2)
+    windows = [_stack_device(host[i:i + chain])
+               for i in range(0, n_steps, chain)]
+    one = {k: np.asarray(v[0]) for k, v in windows[0].items()}
+    acc = step.init_acc(state, one)
+    names = step.metric_names(state, one)
+    key = jax.random.PRNGKey(1)
+    # warmup: one window (compile) + one read
+    key, ks = jax.random.split(key)
+    state, acc = step(state, windows[0], ks, acc)
+    _ = np.asarray(jax.device_get(acc))
+    t0 = time.perf_counter()
+    done = 0
+    next_read = print_freq
+    for wdw in windows:
+        key, ks = jax.random.split(key)
+        state, acc = step(state, wdw, ks, acc)
+        done += chain
+        if done >= next_read:
+            _ = np.asarray(jax.device_get(acc))
+            next_read += print_freq
+    vals = np.asarray(jax.device_get(acc))
+    dt = time.perf_counter() - t0
+    ms = 1000 * dt / n_steps
+    loss = vals[list(names).index("loss")] / (n_steps + chain)
+    print(f"[train-dev] loop machinery: {ms:.1f} ms/step "
+          f"({n_steps} steps, {dt:.2f}s, loss {loss:.3f}) — "
+          f"scan-protocol reference 201-206 ms/step", flush=True)
+    return ms
+
+
+def time_eval_device_fed(n_pairs=32, chain=8, print_freq=20):
+    cfg = SfMConfig.kitti(nlabel=128).override(**RECIPE)
+    b, h, w = 1, 384, 1280
+    print(f"[eval-dev] b={b} {h}x{w} nlabel=128 chain={chain}",
+          flush=True)
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(b, 128, 384),
+        steps_per_epoch=1000)
+    ev = ChainedEval(model, cfg)
+    host = synth_batches(n_pairs, b, h, w, seed=2, with_raw_hw=True)
+    windows = [_stack_device(host[i:i + chain])
+               for i in range(0, n_pairs, chain)]
+    one = {k: np.asarray(v[0]) for k, v in windows[0].items()}
+    sums, count = ev.init_acc(state, one)
+    names = ev.metric_names(state, one)
+    key = jax.random.PRNGKey(1)
+    key, ks = jax.random.split(key)
+    sums, count = ev(state, windows[0], ks, sums, count)
+    _ = np.asarray(jax.device_get(sums))
+    t0 = time.perf_counter()
+    done = 0
+    next_read = print_freq
+    for wdw in windows:
+        key, ks = jax.random.split(key)
+        sums, count = ev(state, wdw, ks, sums, count)
+        done += chain
+        if done >= next_read:
+            _ = np.asarray(jax.device_get(sums))
+            next_read += print_freq
+    vals = np.asarray(jax.device_get(sums))
+    c = float(count)
+    dt = time.perf_counter() - t0
+    ms = 1000 * dt / n_pairs
+    ar = vals[list(names).index("abs_rel")] / c
+    print(f"[eval-dev] loop machinery: {ms:.1f} ms/pair "
+          f"({n_pairs} pairs, {dt:.2f}s, abs_rel {ar:.4f}) — "
+          f"scan-protocol reference 155 ms/pair", flush=True)
+    return ms
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "both"
     print("backend:", jax.default_backend(), flush=True)
@@ -122,3 +214,9 @@ if __name__ == "__main__":
         run_with_backend_retry(lambda: time_eval(), label="eval-timing")
     if what in ("train", "both"):
         run_with_backend_retry(lambda: time_train(), label="train-timing")
+    if what in ("eval-dev", "dev"):
+        run_with_backend_retry(lambda: time_eval_device_fed(),
+                               label="eval-dev-timing")
+    if what in ("train-dev", "dev"):
+        run_with_backend_retry(lambda: time_train_device_fed(),
+                               label="train-dev-timing")
