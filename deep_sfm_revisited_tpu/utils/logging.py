@@ -58,12 +58,24 @@ class AverageMeter:
 
 
 class MetricLogger:
-    """JSONL scalar stream + PNG image dumps per run."""
+    """JSONL scalar stream + TensorBoard event file + PNG image dumps.
 
-    def __init__(self, log_dir: str, name: str = "train"):
+    The tfevents output (utils/tb_events.py, dependency-free) makes the
+    run directory directly loadable by TensorBoard, matching the
+    reference's tensorboardX artifact (`main.py:147-148,390-450`)."""
+
+    def __init__(self, log_dir: str, name: str = "train",
+                 tensorboard: bool = True):
         self.dir = os.path.join(log_dir, name)
         os.makedirs(self.dir, exist_ok=True)
         self._f = open(os.path.join(self.dir, "scalars.jsonl"), "a")
+        self._tb = None
+        if tensorboard:
+            from deep_sfm_revisited_tpu.utils.tb_events import (
+                TBEventWriter,
+            )
+
+            self._tb = TBEventWriter(self.dir)
 
     def scalar(self, tag: str, value, step: int):
         self._f.write(
@@ -71,6 +83,9 @@ class MetricLogger:
             + "\n"
         )
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+            self._tb.flush()
 
     def scalars(self, values: Dict[str, float], step: int):
         for k, v in values.items():
@@ -84,3 +99,5 @@ class MetricLogger:
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

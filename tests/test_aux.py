@@ -64,6 +64,56 @@ def test_logger_and_metric_jsonl(tmp_path):
     assert lines[1]["step"] == 2
 
 
+def test_tb_events_crc32c_known_answer():
+    """Castagnoli CRC known-answer vector; the masking constant is the
+    TFRecord one — wrong either way and TensorBoard rejects the file."""
+    from deep_sfm_revisited_tpu.utils.tb_events import crc32c, masked_crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    # masking is rotate-right-15 + 0xa282ead8 (mod 2^32)
+    c = crc32c(b"abc")
+    assert masked_crc32c(b"abc") == ((((c >> 15) | (c << 17))
+                                      + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def test_tb_events_roundtrip(tmp_path):
+    from deep_sfm_revisited_tpu.utils.tb_events import (
+        TBEventWriter,
+        read_events,
+    )
+
+    w = TBEventWriter(str(tmp_path))
+    w.add_scalar("train/loss", 0.5, 1)
+    w.add_scalar("train/loss", 0.25, 2)
+    w.add_scalar("val/abs_rel", 0.055, 2)
+    w.close()
+    files = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert len(files) == 1
+    evs = read_events(str(tmp_path / files[0]))  # verifies both CRCs
+    assert evs[0]["file_version"] == "brain.Event:2"
+    scalars = [(e["tag"], e["value"], e["step"]) for e in evs[1:]]
+    assert scalars[0] == ("train/loss", 0.5, 1)
+    assert scalars[1] == ("train/loss", 0.25, 2)
+    assert scalars[2][0] == "val/abs_rel"
+    assert abs(scalars[2][1] - 0.055) < 1e-6
+
+
+def test_metric_logger_writes_tfevents(tmp_path):
+    from deep_sfm_revisited_tpu.utils.logging import MetricLogger
+    from deep_sfm_revisited_tpu.utils.tb_events import read_events
+
+    ml = MetricLogger(str(tmp_path), name="train")
+    ml.scalars({"loss": 1.5, "depth_out": 0.7}, step=3)
+    ml.close()
+    files = [f for f in os.listdir(tmp_path / "train") if "tfevents" in f]
+    assert len(files) == 1
+    evs = read_events(str(tmp_path / "train" / files[0]))
+    tags = {e.get("tag") for e in evs}
+    assert {"loss", "depth_out"} <= tags
+    assert all(e["step"] == 3 for e in evs if e.get("tag"))
+
+
 def test_debug_guard_and_check_finite():
     from deep_sfm_revisited_tpu.utils.debug import check_finite, guard
 
