@@ -333,16 +333,26 @@ def fit(
     shape = sample_shape or (
         cfg.train.batch_size, *cfg.data.train_size
     )
-    model, state = create_train_state(
-        cfg, rng, sample_shape=shape, steps_per_epoch=len(train_loader)
-    )
-    if restore_fn is not None:
-        state = restore_fn(state)
     # a mesh is needed for model parallelism AND for any multi-host run
-    # (global-batch assembly requires a global mesh even for pure DP)
+    # (global-batch assembly requires a global mesh even for pure DP);
+    # built BEFORE the state so the long-axis shardings (RANSAC
+    # hypotheses/points, plane-sweep D) wire into the model
     mesh = (make_mesh(cfg.mesh)
             if cfg.mesh.model_parallel > 1 or jax.process_count() > 1
             else None)
+    model, state = create_train_state(
+        cfg, rng, sample_shape=shape, steps_per_epoch=len(train_loader),
+        mesh=mesh,
+    )
+    if restore_fn is not None:
+        state = restore_fn(state)
+    if mesh is not None and jax.process_count() == 1:
+        # pin the replicated layout explicitly (multi-host keeps the
+        # compiler-inferred replication; device_put across a global mesh
+        # can't address remote chips)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
     step_fn = ChainedStep(model, cfg)
     eval_fn = ChainedEval(model, cfg)
 

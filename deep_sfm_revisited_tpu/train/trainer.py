@@ -98,10 +98,25 @@ def create_train_state(
     rng: jax.Array,
     sample_shape: Tuple[int, int, int] = (1, 256, 768),
     steps_per_epoch: int = 1000,
+    mesh=None,
 ) -> Tuple[SFMNet, TrainState]:
-    """Initialize the model + optimizer on host-shaped dummies."""
+    """Initialize the model + optimizer on host-shaped dummies.
+
+    With a `mesh` whose model axis is >1, the long-axis shardings are
+    wired into the model (SURVEY §2.7): RANSAC hypotheses, RANSAC test
+    points, and the plane-sweep D axis each pinned to
+    P(data, model) — XLA then reduces the Sampson votes / GN normal
+    equations / cost-volume with psum collectives over the mesh. The
+    same wiring __graft_entry__.dryrun_multichip validates."""
     dtype = jnp.bfloat16 if cfg.train.mixed_prec else jnp.float32
-    model = SFMNet(cfg, dtype=dtype)
+    shard_kw = {}
+    if mesh is not None and mesh.devices.shape[1] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(*mesh.axis_names))
+        shard_kw = dict(hyp_sharding=sh, cost_sharding=sh,
+                        point_sharding=sh)
+    model = SFMNet(cfg, dtype=dtype, **shard_kw)
     b, h, w = sample_shape
     dummy = jnp.zeros((b, h, w, 3), jnp.float32)
     K = jnp.broadcast_to(

@@ -139,6 +139,45 @@ def test_sharded_psnet_cost_matches_unsharded():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_fit_path_wires_long_axis_shardings_and_trains():
+    """The PRODUCTION path (create_train_state with a mesh, chained
+    train_epoch) must wire the long-axis shardings the dryrun uses —
+    round-3 fix: fit previously built the model with no shardings, so
+    multi-chip runs silently fell back to pure data parallelism."""
+    import numpy as np_
+
+    import __graft_entry__ as g
+    from deep_sfm_revisited_tpu.train.loop import train_epoch
+    from deep_sfm_revisited_tpu.train.trainer import (
+        ChainedStep,
+        create_train_state,
+    )
+
+    cfg = g._tiny_cfg(nlabel=8, hyps=16, iters=2, ncorr=64, flow="RAFT")
+    cfg = cfg.override(**{"mesh.data_parallel": 4,
+                          "mesh.model_parallel": 2})
+    mesh = make_mesh(cfg.mesh)
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(4, 64, 96),
+        steps_per_epoch=10, mesh=mesh,
+    )
+    assert model.hyp_sharding is not None
+    assert model.cost_sharding is not None
+    assert model.point_sharding is not None
+
+    step = ChainedStep(model, cfg, noise=False)
+    batches = [
+        {k: np_.asarray(v)
+         for k, v in g._batch(4, 64, 96,
+                              key=jax.random.PRNGKey(i)).items()}
+        for i in (0, 1)
+    ]
+    state2, avg = train_epoch(batches, state, step, 0,
+                              jax.random.PRNGKey(1), mesh=mesh, chain=2)
+    assert np_.isfinite(avg)
+    assert int(state2.step) == 2
+
+
 @pytest.mark.heavy
 def test_dryrun_multichip():
     """The driver's sharded-train-step entry point (also run by the
