@@ -15,6 +15,7 @@ The trained flow params drop into the SfM composite via
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -130,6 +131,26 @@ def make_flow_train_step(model, cfg: FlowConfig, gamma: float = 0.8):
     return step
 
 
+FLOW_METRIC_NAMES = ("epe", "loss")
+
+
+def make_flow_train_step_acc(model, cfg: FlowConfig, gamma: float = 0.8):
+    """Accumulating variant used by flow_fit: metrics sum into a device
+    vector (FLOW_METRIC_NAMES order) instead of per-step host reads —
+    the same channel-cost fix as ChainedStep (train/trainer.py), kept
+    single-step because flow pretraining is not the flagship path."""
+    base = make_flow_train_step(model, cfg, gamma)
+
+    @partial(jax.jit, donate_argnums=(0, 2))
+    def step(state: TrainState, batch, acc):
+        state, metrics = base(state, batch)
+        vec = jnp.stack([metrics[k].astype(jnp.float32)
+                         for k in FLOW_METRIC_NAMES])
+        return state, acc + vec
+
+    return step
+
+
 def flow_fit(
     cfg: FlowConfig,
     train_loader,
@@ -142,6 +163,7 @@ def flow_fit(
     dtype=jnp.bfloat16,
     eval_pad_multiple: int = 64,
     eval_max_items: int | None = None,
+    print_freq: int = 20,
 ):
     """Flow-pretraining driver: the runnable version of the reference's
     MISSING `flow_training.train_flow` module (`main.py:251` imports it
@@ -171,19 +193,32 @@ def flow_fit(
         cfg, jax.random.PRNGKey(seed), sample_shape, lr=lr,
         total_steps=steps_total, dtype=dtype,
     )
-    step_fn = make_flow_train_step(model, cfg)
+    step_fn = make_flow_train_step_acc(model, cfg)
 
     best = np.inf
     for epoch in range(epochs):
         losses = AverageMeter()
+        nb = len(train_loader)
+        # on-device metric accumulation: one vector read per print
+        # window instead of one ~25 ms read per metric per step (the
+        # same channel-cost fix the SfM loops got, train/loop.py)
+        acc = jnp.zeros((len(FLOW_METRIC_NAMES),), jnp.float32)
+        prev = np.zeros(len(FLOW_METRIC_NAMES))
+        prev_steps = 0
+        bsz = 1
         for i, host_batch in enumerate(train_loader):
             batch = {k: jnp.asarray(v) for k, v in host_batch.items()
                      if hasattr(v, "dtype") and v.dtype.kind in "biufc"}
-            state, metrics = step_fn(state, batch)
-            loss = float(metrics["loss"])
-            losses.update(loss, n=host_batch["ref"].shape[0])
-            mlog.scalars({k: float(v) for k, v in metrics.items()},
-                         int(state.step))
+            bsz = host_batch["ref"].shape[0]
+            state, acc = step_fn(state, batch, acc)
+            if (i + 1) % print_freq == 0 or i == nb - 1:
+                vals = np.asarray(jax.device_get(acc), np.float64)
+                dn = (i + 1) - prev_steps
+                mean = {k: (vals[j] - prev[j]) / dn
+                        for j, k in enumerate(FLOW_METRIC_NAMES)}
+                losses.update(mean["loss"], n=dn * bsz)
+                mlog.scalars(mean, epoch * nb + i + 1)
+                prev, prev_steps = vals, i + 1
         metric = losses.avg
         if val_dataset is not None:
             from deep_sfm_revisited_tpu.train.flow_eval import (
