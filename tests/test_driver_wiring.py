@@ -123,6 +123,33 @@ def test_fit_start_epoch_skips_completed_epochs(tmp_path):
     assert int(state.step) == 0  # nothing trained
 
 
+def test_eval_metrics_surface_num_matches_on_confidence_path():
+    """With DICL (entropy-confidence) flow driving online RANSAC, the
+    eval metrics must include num_matches + uniform_fallback so a
+    dataset of degenerate pairs is observable (round-2 weak #5 — the
+    reference prints its keypoint diagnostics, SFMnet.py:205-241); GT
+    pose / RAFT paths must NOT grow the keys. Pure eval_shape — no
+    compute."""
+    from deep_sfm_revisited_tpu.train.trainer import ChainedEval
+
+    import numpy as np
+
+    cfg = SfMConfig().override(
+        **TINY, **{"flow.estimator": "DICL"})
+    b, h, w = 1, 128, 128
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      sample_shape=(b, h, w))
+    batch = {k: np.asarray(v) for k, v in _batch(b, h, w).items()}
+    names = ChainedEval(model, cfg).metric_names(state, batch)
+    assert "num_matches" in names and "uniform_fallback" in names
+
+    gt_cfg = cfg.override(use_gt_pose=True)
+    gt_model, gt_state = create_train_state(gt_cfg, jax.random.PRNGKey(0),
+                                            sample_shape=(b, h, w))
+    gt_names = ChainedEval(gt_model, gt_cfg).metric_names(gt_state, batch)
+    assert "num_matches" not in gt_names
+
+
 @pytest.mark.heavy
 def test_trainer_dicl_branch_uses_multiscale_loss():
     """The SfM trainer must supervise DICL's per-level stack with the
