@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import ast
-import os
 
 
 def build_parser() -> argparse.ArgumentParser:

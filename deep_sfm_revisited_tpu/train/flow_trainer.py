@@ -16,7 +16,7 @@ The trained flow params drop into the SfM composite via
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

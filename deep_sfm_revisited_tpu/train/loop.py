@@ -34,8 +34,6 @@ from deep_sfm_revisited_tpu.train.trainer import (
     TrainState,
     add_image_noise,
     create_train_state,
-    make_eval_step,
-    make_train_step,
 )
 from deep_sfm_revisited_tpu.utils.logging import AverageMeter, MetricLogger
 

@@ -24,8 +24,7 @@ feeding, checkpointing, logging) lives in train/loop.py.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 from functools import partial
