@@ -25,6 +25,24 @@ def test_odometry_demo_runs():
 
 
 @pytest.mark.heavy
+def test_training_demo_runs(tmp_path):
+    import training_demo
+
+    out = str(tmp_path / "demo")
+    results = training_demo.main(["--out", out, "--steps", "4",
+                                  "--chain", "2"])
+    assert np.isfinite(results["abs_rel"])
+    train_dir = os.path.join(out, "train")
+    assert os.path.exists(os.path.join(train_dir, "scalars.jsonl"))
+    tb = [f for f in os.listdir(train_dir) if "tfevents" in f]
+    assert tb, "no TensorBoard event file written"
+    from deep_sfm_revisited_tpu.utils.tb_events import read_events
+
+    evs = read_events(os.path.join(train_dir, tb[0]))
+    assert any(e.get("tag") == "loss" for e in evs)
+
+
+@pytest.mark.heavy
 def test_two_view_demo_runs(tmp_path):
     import two_view_demo
 
