@@ -316,14 +316,36 @@ def main(argv=None):
     from deep_sfm_revisited_tpu.utils.retry import run_with_backend_retry
 
     if args.validate or args.record_pose or args.save_pose:
+        # eval/pose branches dump the effective config too (the train
+        # branch dumps inside fit); ≙ the reference's unconditional
+        # startup config dump, main.py:140-142
+        if jax.process_index() == 0:
+            import os
+
+            from deep_sfm_revisited_tpu.config import save_config
+
+            out = os.path.join(args.out, cfg.tag)
+            os.makedirs(out, exist_ok=True)
+            save_config(cfg, os.path.join(out, "config.yaml"))
         if args.record_pose or args.save_pose:
             # pose tools are single-host jobs: they print one report /
             # write one file tree. Run them on process 0 over the FULL
-            # (unsharded) eval set instead of letting every process score
-            # or write its own shard concurrently.
+            # (unsharded) eval set; everyone meets at an explicit barrier
+            # afterwards so the non-zero processes park in a deliberate
+            # collective (not the coordination-service shutdown path,
+            # whose heartbeat timeouts a long eval could outlive).
             if jax.process_index() != 0:
+                multihost.barrier("pose-tools-done")
                 return None
             _, val_loader = build_loaders(cfg, args)
+            try:
+                def run_pose_tools():
+                    return _eval_tools(args, cfg, val_loader)
+
+                return run_with_backend_retry(run_pose_tools,
+                                              label="cli-eval")
+            finally:
+                multihost.barrier("pose-tools-done")
 
         # self-contained so a transient-backend retry re-creates every
         # piece of device state (utils/retry.py; ≙ bench.py hardening —
@@ -451,11 +473,21 @@ def _eval_tools(args, cfg, val_loader):
 
     # production eval: ChainedEval fuses eval_chain_steps batches per
     # dispatch and accumulates metrics on device (train/loop.py)
+    import os
+
+    from deep_sfm_revisited_tpu.utils.logging import MetricLogger
+
     eval_fn = ChainedEval(model, cfg)
+    mlog = (MetricLogger(os.path.join(args.out, cfg.tag), "test")
+            if jax.process_index() == 0 else None)
     results = validate(val_loader, state, eval_fn,
                        jax.random.PRNGKey(0),
                        cross_host=jax.process_count() > 1,
-                       chain=cfg.train.eval_chain_steps)
+                       chain=cfg.train.eval_chain_steps,
+                       metric_logger=mlog)
+    if mlog is not None:
+        mlog.scalars(results, 0)
+        mlog.close()
     print({k: round(v, 4) for k, v in results.items()})
     return results
 

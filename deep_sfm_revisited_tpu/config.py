@@ -181,6 +181,13 @@ class TrainConfig:
     pose_rot_weight: float = 20.0          # PoseNet rot-loss x20 (main.py:396-408)
     seed: int = 0
     print_freq: int = 20
+    # emit input / flow-RGB / pred- and GT-depth-colormap TensorBoard
+    # image panes every `image_freq` steps (≙ main.py:429-447, which
+    # emits every print period). 0 disables. The chained loops run one
+    # extra inference forward per emission (their step programs keep no
+    # image-sized outputs), so this is deliberately sparser than
+    # print_freq by default — ~0.5% overhead at 100.
+    image_freq: int = 100
     # steps fused into one compiled program per dispatch in the
     # production loops (train/loop.py). On the remote-TPU platform a
     # dispatch costs ~27 ms and a device->host read ~25 ms; chaining
@@ -289,9 +296,16 @@ def config_from_yaml(path: str, base: SfMConfig | None = None) -> SfMConfig:
     return cfg.override(**flat)
 
 
-def save_config(cfg: SfMConfig, path: str) -> None:
-    """Dump the full config for the run log (ref `save_config_to_file`)."""
+def save_config(cfg: SfMConfig, path: str) -> str:
+    """Dump the full effective config to a YAML file the driver wires at
+    run start (≙ the reference's startup config dump, `main.py:140-142`
+    + `save_config_to_file` `lib/config.py:441-455`). Returns the YAML
+    text so callers can also log it. The written file round-trips:
+    `config_from_yaml(path)` reproduces the config exactly
+    (tests/test_driver_wiring.py)."""
     import yaml
 
+    text = yaml.safe_dump(cfg.to_dict(), sort_keys=False)
     with open(path, "w") as f:
-        yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)
+        f.write(text)
+    return text

@@ -104,23 +104,36 @@ class BatchLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(idx)
+        valid = None
         if self.num_shards > 1:
             # wrap-around pad so every shard sees the same sample count
             # (the duplicated head samples are the standard
-            # DistributedSampler trade for equal-length shards)
-            total = -(-len(idx) // self.num_shards) * self.num_shards
+            # DistributedSampler trade for equal-length shards). Each
+            # duplicate is FLAGGED (`sample_valid` 0) so sharded eval
+            # excludes it from the metric sums instead of double-counting
+            # up to num_shards-1 samples (ADVICE r3).
+            n_real = len(idx)
+            total = -(-n_real // self.num_shards) * self.num_shards
             idx = np.resize(idx, total)  # cyclic repeat up to total
+            valid = np.ones(total, np.float32)
+            valid[n_real:] = 0.0
+            valid = valid[self.shard_id :: self.num_shards]
         idx = idx[self.shard_id :: self.num_shards]
         nb = len(self)
         batches = [
             idx[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
+        valids = (
+            [valid[i * self.batch_size : (i + 1) * self.batch_size]
+             for i in range(nb)]
+            if valid is not None else [None] * nb
+        )
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         job_q: "queue.Queue" = queue.Queue()
         for bi, b in enumerate(batches):
-            job_q.put((bi, b))
+            job_q.put((bi, b, valids[bi]))
         results: Dict[int, Dict] = {}
         lock = threading.Lock()
         stop = threading.Event()
@@ -129,7 +142,7 @@ class BatchLoader:
             wrng = np.random.default_rng((self.seed, self._epoch, wid))
             while not stop.is_set():
                 try:
-                    bi, b = job_q.get_nowait()
+                    bi, b, bv = job_q.get_nowait()
                 except queue.Empty:
                     return
                 try:
@@ -137,6 +150,8 @@ class BatchLoader:
                         self.dataset.__getitem__(int(i), rng=wrng) for i in b
                     ]
                     batch = collate(samples, self.pad_multiple)
+                    if bv is not None:
+                        batch["sample_valid"] = np.asarray(bv, np.float32)
                 except Exception as e:  # surface loader errors, don't hang
                     batch = e
                 with lock:

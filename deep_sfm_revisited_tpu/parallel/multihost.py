@@ -44,6 +44,20 @@ def initialize(coordinator: Optional[str] = None,
         )
 
 
+def barrier(name: str) -> None:
+    """Cross-process sync point (single-host: no-op).
+
+    Used where one process runs a long single-host job (the CLI pose
+    tools) while the others wait: an explicit named barrier parks them in
+    a deliberate collective instead of the jax.distributed shutdown path,
+    whose coordination-service heartbeat timeouts a long eval could
+    outlive."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def host_shard_info() -> Dict[str, int]:
     """(shard_id, num_shards) for the data loader on this host."""
     return {

@@ -69,6 +69,30 @@ def _stack_window(buf):
     return {k: np.stack([b[k] for b in buf]) for k in keep}
 
 
+def _emit_images(metric_logger, prefix, host_batch, flow, depth, step):
+    """Write the reference's TensorBoard image panes (input, flow RGB,
+    pred/GT depth colormaps ≙ main.py:429-447) — host-side conversions,
+    off the step path."""
+    from deep_sfm_revisited_tpu.utils.viz import (
+        depth_to_colormap,
+        flow_to_rgb,
+    )
+
+    ref = np.asarray(host_batch["ref"][0], np.float32)
+    img = ((np.clip(ref, -1.0, 1.0) * 0.5 + 0.5) * 255).astype(np.uint8)
+    metric_logger.image(f"{prefix}/input", img, step)
+    metric_logger.image(f"{prefix}/flow",
+                        flow_to_rgb(np.asarray(flow[0], np.float32)), step)
+    metric_logger.image(
+        f"{prefix}/depth_pred",
+        depth_to_colormap(np.asarray(depth[0], np.float32)), step)
+    if "depth_gt" in host_batch:
+        metric_logger.image(
+            f"{prefix}/depth_gt",
+            depth_to_colormap(np.asarray(host_batch["depth_gt"][0],
+                                         np.float32)), step)
+
+
 def train_epoch(
     loader,
     state: TrainState,
@@ -127,14 +151,21 @@ def _train_epoch_chained(
     step_time = AverageMeter()
     names = None
     acc = None
+    n_names = 0
+    # per-step loss ring capacity: the largest possible logging window
+    # (boundary logic below) plus one chain of slack
+    trace_cap = max(print_freq, chain) + 2 * chain
     buf = []
     done = 0            # steps dispatched so far this epoch
     prev_read = None    # (steps, cumulative sums) at the last read
+    last_host = None    # most recent host batch (for image panes)
+    img_done = 0        # image_freq periods already emitted
     window_t0 = time.time()
 
     def read_and_log(force=False):
         nonlocal prev_read, window_t0
-        # ONE device->host read of the fused metric-sum vector
+        # ONE device->host read of the fused metric vector (sums + the
+        # per-step loss ring + cursor)
         vals = np.asarray(jax.device_get(acc), np.float64)
         p_steps, p_vals = prev_read
         dn = done - p_steps
@@ -147,9 +178,29 @@ def _train_epoch_chained(
         losses.update(mean["loss"], n=dn)
         gstep = epoch * nb + done
         if metric_logger is not None:
-            # window means logged at the window-end step (the chained
-            # loop trades per-step scalar traces for zero channel cost)
+            # window means at the window-end step, PLUS each step's own
+            # loss from the on-device ring (round-3 weak #4: a loss
+            # spike inside a window must stay visible)
             metric_logger.scalars(mean, gstep)
+            m = min(dn, trace_cap)
+            pos = int(round(vals[-1]))
+            ring = vals[n_names:-1]
+            idx = (pos - m + np.arange(m)) % trace_cap
+            for j, lv in enumerate(ring[idx]):
+                metric_logger.scalar("loss_step", lv, gstep - m + 1 + j)
+            # image panes every image_freq steps (one extra inference
+            # forward; single-host only — an unsharded ad-hoc program on
+            # a multi-host mesh would desync the processes)
+            nonlocal img_done
+            if (step.image_freq > 0 and last_host is not None
+                    and jax.process_count() == 1
+                    and done // step.image_freq > img_done):
+                img_done = done // step.image_freq
+                key_img = jax.random.PRNGKey(gstep)
+                one = {k: jnp.asarray(v) for k, v in last_host.items()}
+                flow, depth = step.viz_outputs(state, one, key_img)
+                _emit_images(metric_logger, "train", last_host, flow,
+                             depth, gstep)
         if logger is not None:
             logger.info(
                 f"Epoch: [{epoch}][{done}/{nb}]\t"
@@ -161,6 +212,7 @@ def _train_epoch_chained(
 
     for i, host_batch in enumerate(loader):
         buf.append(host_batch)
+        last_host = _filter_arrays(host_batch)
         if len(buf) < chain and i < nb - 1:
             continue
         stacked = _stack_window(buf)
@@ -168,8 +220,9 @@ def _train_epoch_chained(
         if acc is None:
             one = {k: v[0] for k, v in stacked.items()}
             names = step.metric_names(state, one)
-            acc = step.init_acc(state, one)
-            prev_read = (0, np.zeros(len(names)))
+            n_names = len(names)
+            acc = step.init_acc(state, one, trace=trace_cap)
+            prev_read = (0, np.zeros(n_names))
         key, ks = jax.random.split(key)
         state, acc = step(state, batches, ks, acc)
         done += len(buf)
@@ -190,6 +243,7 @@ def validate(
     print_freq: int = 20,
     cross_host: bool = False,
     chain: int = 1,
+    metric_logger: Optional[MetricLogger] = None,
 ):
     """Eigen-protocol depth evaluation (≙ `validate`, main.py:460-631).
 
@@ -201,14 +255,16 @@ def validate(
     if isinstance(eval_fn, ChainedEval):
         return _validate_chained(
             loader, state, eval_fn, key, logger, mesh, print_freq,
-            cross_host, max(chain, 1),
+            cross_host, max(chain, 1), metric_logger,
         )
     meters: Dict[str, AverageMeter] = {}
     for i, host_batch in enumerate(loader):
         key, k = jax.random.split(key)
         batch = _to_device(host_batch, mesh)
         metrics, _ = eval_fn(state, batch, k)
-        n = host_batch["ref"].shape[0]
+        n = (float(np.sum(host_batch["sample_valid"]))
+             if "sample_valid" in host_batch
+             else host_batch["ref"].shape[0])
         for name, v in metrics.items():
             meters.setdefault(name, AverageMeter()).update(float(v), n)
         if logger is not None and i % print_freq == 0:
@@ -236,6 +292,7 @@ def validate(
 
 def _validate_chained(
     loader, state, ev, key, logger, mesh, print_freq, cross_host, chain,
+    metric_logger=None,
 ):
     nb = len(loader)
     names = None
@@ -243,6 +300,7 @@ def _validate_chained(
     buf = []
     done = 0
     next_print = 0
+    img_done = 0
 
     def flush(key, sums, count, buf):
         stacked = _stack_window(buf)
@@ -260,6 +318,18 @@ def _validate_chained(
         # (window, shapes) combo); KITTI eval pads everything to one
         # shape, synthetic suites may not — flush on change
         if buf and shapes_of(host_batch) != shapes_of(buf[0]):
+            if jax.process_count() > 1:
+                # each dispatch is a GLOBAL collective program: hosts
+                # whose loader shards hit shape changes at different
+                # indices would dispatch different program sequences and
+                # hang the collective. Fail loudly instead (ADVICE r3);
+                # multi-host eval requires a shape-uniform (padded) set.
+                raise RuntimeError(
+                    "multi-host validate saw a batch-shape change "
+                    f"(batch {i}): per-host flush schedules would "
+                    "desync the collective. Pad the eval set to one "
+                    "shape (data.pad_multiple) for multi-host runs."
+                )
             key, sums, count = flush(key, sums, count, buf)
             done += len(buf)
             buf = []
@@ -278,6 +348,17 @@ def _validate_chained(
             ia = names.index("abs_rel")
             logger.info(f"Test: [{done}/{nb}]\t abs_rel {v[ia] / c:.4f}")
             next_print = done + print_freq
+        if (metric_logger is not None and ev.image_freq > 0
+                and jax.process_count() == 1
+                and done // ev.image_freq > img_done):
+            # eval image panes (≙ the test-writer emits, main.py:600s):
+            # one extra inference forward per image_freq pairs
+            img_done = done // ev.image_freq
+            hb = _filter_arrays(host_batch)
+            one = {k: jnp.asarray(v_) for k, v_ in hb.items()}
+            flow, depth = ev.viz_outputs(state, one,
+                                         jax.random.PRNGKey(done))
+            _emit_images(metric_logger, "test", hb, flow, depth, done)
     v = np.asarray(jax.device_get(sums), np.float64)
     c = float(count)
     if cross_host:
@@ -325,7 +406,16 @@ def fit(
     out = os.path.join(out_dir, cfg.tag)
     os.makedirs(out, exist_ok=True)
     logger = create_logger(out, cfg.tag)
+    # effective-config dump at run start (≙ main.py:140-142 logging the
+    # full merged cfg + save_config_to_file); the file round-trips via
+    # config_from_yaml for exact run reproduction
+    from deep_sfm_revisited_tpu.config import save_config
+
+    if jax.process_index() == 0:
+        cfg_text = save_config(cfg, os.path.join(out, "config.yaml"))
+        logger.info("effective config:\n" + cfg_text)
     mlog = MetricLogger(out, "train")
+    mlog_val = MetricLogger(out, "test") if val_loader is not None else None
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     shape = sample_shape or (
@@ -367,8 +457,11 @@ def fit(
             results = validate(val_loader, state, eval_fn, k_val, logger,
                                mesh, cfg.train.print_freq,
                                cross_host=jax.process_count() > 1,
-                               chain=cfg.train.eval_chain_steps)
+                               chain=cfg.train.eval_chain_steps,
+                               metric_logger=mlog_val)
             metric = results["abs_rel"]
+            if mlog_val is not None:
+                mlog_val.scalars(results, epoch)
         is_best = metric < best
         best = min(metric, best)
         # ALL processes call save: orbax's CheckpointManager is itself a

@@ -286,7 +286,10 @@ def evaluate_vo_odometry(
             gt = dataset.poses[seq][seg[0]::dataset.skip][: len(est)]
             seg_reps.append((len(est), evaluate_trajectory(est, gt)))
         # frame-weighted aggregate over segments; a gapless sequence
-        # reduces to the single-segment report exactly
+        # reduces to the single-segment report exactly. RMSE-type keys
+        # aggregate in the squared domain (sqrt of the frame-weighted
+        # mean square) so the result IS the RMSE over all scored frames,
+        # not a mean of per-segment RMSEs
         total = sum(n for n, _ in seg_reps)
         rep: Dict[str, float] = {}
         for k in seg_reps[0][1]:
@@ -295,8 +298,25 @@ def evaluate_vo_odometry(
             vals = [(n, r[k]) for n, r in seg_reps
                     if np.isfinite(r[k])]
             w = sum(n for n, _ in vals)
-            rep[k] = (sum(n * v for n, v in vals) / w) if w else float("nan")
-        rep["per_length"] = seg_reps[0][1]["per_length"]
+            if not w:
+                rep[k] = float("nan")
+            elif k.endswith("rmse"):
+                rep[k] = float(np.sqrt(
+                    sum(n * v * v for n, v in vals) / w))
+            else:
+                rep[k] = sum(n * v for n, v in vals) / w
+        # per_length: frame-weighted merge of the per-segment KITTI
+        # tables (each maps L -> (t_err_pct, r_err_deg_per_100m); a
+        # length absent from a segment simply contributes no weight)
+        merged: Dict[int, List] = {}
+        for n, r in seg_reps:
+            for L, (t_e, r_e) in r["per_length"].items():
+                merged.setdefault(L, []).append((n, t_e, r_e))
+        rep["per_length"] = {
+            L: (sum(n * t for n, t, _ in v) / sum(n for n, _, _ in v),
+                sum(n * r for n, _, r in v) / sum(n for n, _, _ in v))
+            for L, v in sorted(merged.items())
+        }
         rep["n_segments"] = len(segments)
         rep["frames_scored"] = total
         if len(segments) > 1 and logger is not None:

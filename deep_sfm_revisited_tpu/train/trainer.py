@@ -167,6 +167,29 @@ def add_image_noise(batch, key, max_std=3.0 / 255):
     return out
 
 
+def _build_viz_fn(model: SFMNet, cfg: SfMConfig):
+    """Jitted inference forward returning the image-sized outputs the
+    TensorBoard panes need (flow, depth). The chained step programs keep
+    only scalar metrics on device, so image emission (≙ main.py:429-447)
+    runs this one extra forward per `train.image_freq` steps, off the
+    step path."""
+
+    @jax.jit
+    def viz(state, batch, key):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["ref"], batch["target"], batch["intrinsics"],
+            pose_gt=batch.get("pose_gt"),
+            pred_pose=batch.get("pred_pose"),
+            use_gt_pose=cfg.use_gt_pose,
+            train=False,
+            key=key,
+        )
+        return out["flow"], out["depth"]
+
+    return viz
+
+
 def _build_loss_fn(model: SFMNet, cfg: SfMConfig):
     """The training objective shared by the single-step and chained
     drivers. Matches the reference's backward-direction training
@@ -252,7 +275,8 @@ def _build_loss_fn(model: SFMNet, cfg: SfMConfig):
             # online by the pose net (≙ main.py:396-408 `if rot_and_trans
             # is not None`)
             pl = pose_regression_loss(out["rt"].astype(jnp.float32),
-                                      batch["pose_gt"])
+                                      batch["pose_gt"],
+                                      rot_weight=t.pose_rot_weight)
             loss = loss + pl
             aux = dict(aux, pose_loss=pl)
         return loss, (aux, mutated["batch_stats"])
@@ -304,6 +328,9 @@ class ChainedStep:
     def __init__(self, model: SFMNet, cfg: SfMConfig, noise: bool = True):
         loss_fn = _build_loss_fn(model, cfg)
         self._names: Optional[Tuple[str, ...]] = None
+        self.image_freq = cfg.train.image_freq
+        self._viz = None
+        self._model_cfg = (model, cfg)
 
         def single(state, batch, key):
             if noise:
@@ -316,19 +343,33 @@ class ChainedStep:
         @partial(jax.jit, donate_argnums=(0, 3))
         def chain(state, batches, key, acc):
             def body(carry, batch):
-                state, acc, key = carry
+                state, key = carry
                 key, ks = jax.random.split(key)
                 state, metrics = single(state, batch, ks)
                 vec = jnp.stack(
                     [metrics[k].astype(jnp.float32)
                      for k in sorted(metrics)]
                 )
-                return (state, acc + vec, key), None
+                return (state, key), (vec, metrics["loss"])
 
-            (state, acc, _), _ = jax.lax.scan(
-                body, (state, acc, key), batches
+            (state, _), (vecs, losses) = jax.lax.scan(
+                body, (state, key), batches
             )
-            return state, acc
+            n = vecs.shape[1]
+            new = acc.at[:n].add(jnp.sum(vecs, axis=0))
+            if acc.shape[0] > n:
+                # per-step loss ring buffer (round-3 weak #4: window means
+                # hid mid-window loss spikes). Layout: acc[:n] metric
+                # sums, acc[n:-1] ring of the last W per-step losses,
+                # acc[-1] write cursor — still ONE array, ONE host read
+                # per logging window.
+                W = acc.shape[0] - n - 1
+                pos = acc[-1].astype(jnp.int32)
+                K = losses.shape[0]
+                idx = n + (pos + jnp.arange(K)) % W
+                new = new.at[idx].set(losses.astype(jnp.float32))
+                new = new.at[-1].set(((pos + K) % W).astype(jnp.float32))
+            return state, new
 
         self._chain = chain
 
@@ -343,14 +384,25 @@ class ChainedStep:
             self._names = tuple(sorted(out[1]))
         return self._names
 
-    def init_acc(self, state, batch) -> jnp.ndarray:
-        return jnp.zeros((len(self.metric_names(state, batch)),),
-                         jnp.float32)
+    def init_acc(self, state, batch, trace: int = 0) -> jnp.ndarray:
+        """Accumulator vector. With `trace=W` > 0, appends a W-slot ring
+        buffer of per-step losses plus a cursor — the host recovers the
+        individual step losses of each logging window from the same
+        single read (see loop._train_epoch_chained)."""
+        n = len(self.metric_names(state, batch))
+        return jnp.zeros((n + (trace + 1 if trace else 0),), jnp.float32)
 
     def __call__(self, state, batches, key, acc):
         """batches: dict of arrays with leading (chain, batch, ...) axes.
         Returns (state, acc + sum_k metrics_vec_k)."""
         return self._chain(state, batches, key, acc)
+
+    def viz_outputs(self, state, batch, key):
+        """(flow, depth) inference forward for image logging (lazy jit —
+        costs nothing unless image_freq fires)."""
+        if self._viz is None:
+            self._viz = _build_viz_fn(*self._model_cfg)
+        return self._viz(state, batch, key)
 
 
 def _build_eval_metrics_fn(model: SFMNet, cfg: SfMConfig):
@@ -405,6 +457,9 @@ class ChainedEval:
     def __init__(self, model: SFMNet, cfg: SfMConfig):
         self._metrics_fn = _build_eval_metrics_fn(model, cfg)
         self._names: Optional[Tuple[str, ...]] = None
+        self.image_freq = cfg.train.image_freq
+        self._viz = None
+        self._model_cfg = (model, cfg)
 
         @partial(jax.jit, donate_argnums=(3, 4))
         def chain(state, batches, key, sums, count):
@@ -416,7 +471,14 @@ class ChainedEval:
                     [metrics[k].astype(jnp.float32)
                      for k in sorted(metrics)]
                 )
-                n = batch["ref"].shape[0]
+                # sharded eval pads every host's loader shard to equal
+                # length with wrap-around duplicates; their
+                # sample_valid=0 weight keeps them out of the metric
+                # sums (exact at the shipped eval batch size 1)
+                if "sample_valid" in batch:
+                    n = jnp.sum(batch["sample_valid"])
+                else:
+                    n = batch["ref"].shape[0]
                 return (sums + vec * n, count + n, key), None
 
             (sums, count, _), _ = jax.lax.scan(
@@ -441,6 +503,12 @@ class ChainedEval:
 
     def __call__(self, state, batches, key, sums, count):
         return self._chain(state, batches, key, sums, count)
+
+    def viz_outputs(self, state, batch, key):
+        """(flow, depth) inference forward for image logging (lazy jit)."""
+        if self._viz is None:
+            self._viz = _build_viz_fn(*self._model_cfg)
+        return self._viz(state, batch, key)
 
 
 def make_eval_step(model: SFMNet, cfg: SfMConfig):

@@ -92,10 +92,15 @@ class MetricLogger:
             self.scalar(k, v, step)
 
     def image(self, tag: str, img, step: int):
+        """PNG file + TensorBoard image pane (≙ writer.add_image,
+        main.py:429-447). `img`: uint8 (H, W[, C])."""
         from imageio.v2 import imwrite
 
         path = os.path.join(self.dir, f"{tag.replace('/', '_')}_{step}.png")
         imwrite(path, img)
+        if self._tb is not None:
+            self._tb.add_image(tag, img, step)
+            self._tb.flush()
 
     def close(self):
         self._f.close()

@@ -7,8 +7,13 @@ first principles: hand-encoded protobuf `Event{wall_time, step,
 Summary{Value{tag, simple_value}}}` messages in the TFRecord framing
 (length + masked-crc32c(length) + payload + masked-crc32c(payload)).
 
-Only scalar summaries are supported — that is all the reference emits.
+Scalar and image summaries are supported — everything the reference
+emits (scalars `main.py:390-427`; input / flow-RGB / depth-colormap
+image panes every print period `main.py:429-447`). Images are encoded
+as PNG by a from-scratch zlib-based encoder (no imageio dependency in
+this module).
 Format references: tensorflow/core/util/event.proto +
+tensorflow/core/framework/summary.proto +
 tensorflow/core/lib/hash/crc32c (public wire formats).
 """
 
@@ -89,6 +94,58 @@ def _summary_value(tag: str, value: float) -> bytes:
     return _f_bytes(1, tag.encode()) + _f_float(2, value)
 
 
+def encode_png(img) -> bytes:
+    """Minimal PNG encoder (8-bit gray / gray+alpha / RGB / RGBA).
+
+    One zlib-compressed IDAT with filter-type-0 scanlines — the simplest
+    spec-conformant stream; TensorBoard (and any PNG reader) loads it.
+    """
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img)
+    if img.dtype != np.uint8:
+        raise TypeError(f"encode_png wants uint8, got {img.dtype}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _summary_image_value(tag: str, png: bytes, h: int, w: int,
+                         colorspace: int) -> bytes:
+    # Summary.Value{ tag = 1; Summary.Image image = 4 }
+    # Summary.Image{ int32 height = 1; int32 width = 2;
+    #                int32 colorspace = 3; bytes encoded_image_string = 4 }
+    image = (_f_varint(1, h) + _f_varint(2, w) + _f_varint(3, colorspace)
+             + _f_bytes(4, png))
+    return _f_bytes(1, tag.encode()) + _f_bytes(4, image)
+
+
+def encode_image_event(tag: str, img, step: int,
+                       wall_time: Optional[float] = None) -> bytes:
+    """Event carrying one PNG image summary. `img`: uint8 (H, W[, C])."""
+    import numpy as np
+
+    wt = time.time() if wall_time is None else wall_time
+    arr = np.ascontiguousarray(img)
+    h, w = arr.shape[:2]
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    summary = _f_bytes(
+        1, _summary_image_value(tag, encode_png(arr), h, w, c))
+    return _f_double(1, wt) + _f_varint(2, step) + _f_bytes(5, summary)
+
+
 def encode_scalar_event(tag: str, value: float, step: int,
                         wall_time: Optional[float] = None) -> bytes:
     """Event{ double wall_time=1; int64 step=2; Summary summary=5 }."""
@@ -125,6 +182,11 @@ class TBEventWriter:
             tfrecord_frame(encode_scalar_event(tag, float(value),
                                                int(step)))
         )
+
+    def add_image(self, tag: str, img, step: int):
+        """img: uint8 (H, W) / (H, W, C) array (C in {1, 2, 3, 4})."""
+        self._f.write(tfrecord_frame(encode_image_event(tag, img,
+                                                        int(step))))
 
     def flush(self):
         self._f.flush()
@@ -165,6 +227,7 @@ def _read_varint(buf: bytes, off: int):
         b = buf[off]
         off += 1
         n |= (b & 0x7F) << shift
+        shift += 7
         if not b & 0x80:
             return n, off
     raise AssertionError
@@ -202,7 +265,7 @@ def _decode_event(buf: bytes):
 
 def _decode_summary(buf: bytes):
     off = 0
-    tag, val = None, None
+    tag, val, image = None, None, None
     while off < len(buf):
         key, off = _read_varint(buf, off)
         num, wire = key >> 3, key & 7
@@ -218,6 +281,8 @@ def _decode_summary(buf: bytes):
                 sln, soff = _read_varint(sub, soff)
                 if snum == 1:
                     tag = sub[soff:soff + sln].decode()
+                elif snum == 4:
+                    image = _decode_image(sub[soff:soff + sln])
                 soff += sln
             elif swire == 5:
                 if snum == 2:
@@ -225,4 +290,27 @@ def _decode_summary(buf: bytes):
                 soff += 4
             else:  # pragma: no cover
                 raise AssertionError
-    return {"tag": tag, "value": val}
+    out = {"tag": tag, "value": val}
+    if image is not None:
+        out["image"] = image
+    return out
+
+
+def _decode_image(buf: bytes):
+    """Summary.Image -> {height, width, colorspace, png(bytes)}."""
+    off = 0
+    img = {}
+    while off < len(buf):
+        key, off = _read_varint(buf, off)
+        num, wire = key >> 3, key & 7
+        if wire == 0:
+            v, off = _read_varint(buf, off)
+            img[{1: "height", 2: "width", 3: "colorspace"}[num]] = v
+        elif wire == 2:
+            ln, off = _read_varint(buf, off)
+            if num == 4:
+                img["png"] = buf[off:off + ln]
+            off += ln
+        else:  # pragma: no cover
+            raise AssertionError
+    return img

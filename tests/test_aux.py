@@ -87,6 +87,7 @@ def test_tb_events_roundtrip(tmp_path):
     w.add_scalar("train/loss", 0.5, 1)
     w.add_scalar("train/loss", 0.25, 2)
     w.add_scalar("val/abs_rel", 0.055, 2)
+    w.add_scalar("train/loss", 0.1, 100000)  # multi-byte varint step
     w.close()
     files = [f for f in os.listdir(tmp_path) if "tfevents" in f]
     assert len(files) == 1
@@ -97,6 +98,67 @@ def test_tb_events_roundtrip(tmp_path):
     assert scalars[1] == ("train/loss", 0.25, 2)
     assert scalars[2][0] == "val/abs_rel"
     assert abs(scalars[2][1] - 0.055) < 1e-6
+    # the reader's varint decode must carry the 7-bit shift (a step or
+    # length >= 128 decodes wrong otherwise — round-4 reader fix)
+    assert scalars[3][2] == 100000
+
+
+def test_tb_image_events_roundtrip(tmp_path):
+    """Image summaries (round-3 missing #1): the hand-rolled PNG encoder
+    must produce a spec-conformant PNG (imageio decodes it back
+    bit-exactly) and add_image must write an Event TensorBoard can load
+    (tag + Summary.Image{h, w, colorspace, png})."""
+    import io
+
+    from imageio.v2 import imread
+
+    from deep_sfm_revisited_tpu.utils.tb_events import (
+        TBEventWriter,
+        encode_png,
+        read_events,
+    )
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    # PNG round-trip through an independent decoder
+    np.testing.assert_array_equal(
+        imread(io.BytesIO(encode_png(rgb))), rgb)
+    np.testing.assert_array_equal(
+        imread(io.BytesIO(encode_png(gray))), gray)
+
+    w = TBEventWriter(str(tmp_path))
+    w.add_image("train/flow", rgb, 7)
+    w.add_scalar("train/loss", 0.5, 7)
+    w.close()
+    files = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    evs = read_events(str(tmp_path / files[0]))  # verifies CRCs
+    img_evs = [e for e in evs if "image" in e]
+    assert len(img_evs) == 1
+    ev = img_evs[0]
+    assert ev["tag"] == "train/flow" and ev["step"] == 7
+    assert (ev["image"]["height"], ev["image"]["width"],
+            ev["image"]["colorspace"]) == (17, 23, 3)
+    np.testing.assert_array_equal(
+        imread(io.BytesIO(ev["image"]["png"])), rgb)
+
+
+def test_metric_logger_image_writes_png_and_tb(tmp_path):
+    from imageio.v2 import imread
+
+    from deep_sfm_revisited_tpu.utils.logging import MetricLogger
+    from deep_sfm_revisited_tpu.utils.tb_events import read_events
+
+    img = np.arange(12 * 8 * 3, dtype=np.uint8).reshape(12, 8, 3)
+    ml = MetricLogger(str(tmp_path), name="train")
+    ml.image("test/depth", img, 4)
+    ml.close()
+    base = tmp_path / "train"
+    np.testing.assert_array_equal(imread(base / "test_depth_4.png"), img)
+    files = [f for f in os.listdir(base) if "tfevents" in f]
+    evs = read_events(str(base / files[0]))
+    img_evs = [e for e in evs if "image" in e]
+    assert len(img_evs) == 1 and img_evs[0]["tag"] == "test/depth"
 
 
 def test_metric_logger_writes_tfevents(tmp_path):

@@ -171,6 +171,25 @@ def test_sharded_loader_equal_lengths_no_tail_drop():
         assert len({o[bi]["ref"].shape for o in outs}) == 1
     seen = {int(i) for o in outs for b in o for i in np.atleast_1d(b["idx"])}
     assert seen == set(range(7))
+    # the wrap-around duplicates carry sample_valid=0 so sharded eval
+    # excludes them from the metric sums (ADVICE r3: double-counted
+    # head samples biased multi-host validate); exactly 7 of the 9
+    # padded slots are real, and the flags match the duplicated indices
+    valid_by_idx = {}
+    for o in outs:
+        for b in o:
+            assert "sample_valid" in b
+            for i, v in zip(np.atleast_1d(b["idx"]),
+                            np.atleast_1d(b["sample_valid"])):
+                valid_by_idx.setdefault(int(i), []).append(float(v))
+    total_valid = sum(v for vs in valid_by_idx.values() for v in vs)
+    assert total_valid == 7.0
+    for i in range(7):
+        assert max(valid_by_idx[i]) == 1.0  # every index counted ONCE
+    # single-shard loaders stay unchanged (no mask key)
+    solo = list(BatchLoader(ds, batch_size=2, workers=1, shuffle=False,
+                            pad_multiple=0, drop_last=False))
+    assert all("sample_valid" not in b for b in solo)
 
 
 def test_velodyne_projection():

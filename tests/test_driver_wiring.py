@@ -121,6 +121,33 @@ def test_fit_start_epoch_skips_completed_epochs(tmp_path):
     state = fit(cfg, OneBatchLoader(), out_dir=str(tmp_path),
                 start_epoch=1)
     assert int(state.step) == 0  # nothing trained
+    # fit must dump the effective config at run start (round-3 missing
+    # #2: save_config existed but nothing called it; ≙ main.py:140-142)
+    import os
+
+    from deep_sfm_revisited_tpu.config import config_from_yaml
+
+    dumped = os.path.join(str(tmp_path), cfg.tag, "config.yaml")
+    assert os.path.exists(dumped)
+    assert config_from_yaml(dumped) == cfg
+
+
+def test_save_config_roundtrip(tmp_path):
+    """save_config's YAML must reload into the exact effective config —
+    including tuples, bools, floats, and non-default overrides — so a
+    dumped run config reproduces the run (≙ save_config_to_file,
+    lib/config.py:441-455)."""
+    from deep_sfm_revisited_tpu.config import config_from_yaml, save_config
+
+    cfg = SfMConfig.kitti(nlabel=64).override(
+        **{"train.lr": 1e-3, "train.milestones": (2, 5),
+           "pose.ransac_iter": 3, "train.fix_flownet": True,
+           "data.train_size": (128, 384)},
+    )
+    path = str(tmp_path / "config.yaml")
+    text = save_config(cfg, path)
+    assert "ransac_iter" in text
+    assert config_from_yaml(path) == cfg
 
 
 def test_eval_metrics_surface_num_matches_on_confidence_path():

@@ -241,6 +241,91 @@ def test_evaluate_vo_odometry_scores_across_gaps():
     assert rep["ate_rmse"] < 1e-4  # oracle is exact on every segment
 
 
+def test_segmented_odometry_aggregation_is_framewise(tmp_path):
+    """When a sequence splits into segments with DIFFERENT error levels,
+    the report must aggregate ate_rmse in the squared domain (RMSE over
+    all scored frames, not a mean of per-segment RMSEs) and merge the
+    per-length KITTI tables across segments (ADVICE r3: per_length was
+    copied from the first segment only)."""
+    from deep_sfm_revisited_tpu.train.odometry import (
+        chain_poses,
+        evaluate_trajectory,
+    )
+    from deep_sfm_revisited_tpu.train.pose_eval import evaluate_vo_odometry
+
+    n_frames = 28
+    gap_link = 13  # segments: frames 0..13 and 14..27, 390 m paths each
+    step_m = 30.0
+    gt = np.stack([
+        np.concatenate([np.eye(3), [[0.0], [0.0], [step_m * i]]], axis=1)
+        for i in range(n_frames)
+    ]).astype(np.float64)
+
+    class GappyVO:
+        skip = 1
+        poses = {9: gt}
+
+        def __len__(self):
+            return n_frames - 1
+
+        def _pair_index(self, i):
+            if i == gap_link:
+                return (i, i - 1)  # boundary-style fallback: link missing
+            return (i, i + 1)
+
+        def __getitem__(self, i, rng=None):
+            return {
+                "ref": np.zeros((16, 16, 3), np.float32),
+                "target": np.zeros((16, 16, 3), np.float32),
+                "intrinsics": np.eye(3, dtype=np.float32),
+                "seq": np.asarray(9),
+                "frame_id1": np.asarray(i),
+            }
+
+    def rel_for(i):
+        # exact forward link before the gap; a small yaw error after it
+        # -> the two segments score DIFFERENT errors
+        yaw = 0.0 if i < gap_link else 0.01
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return np.concatenate([R, [[0.0], [0.0], [step_m]]],
+                              axis=1).astype(np.float32)
+
+    def oracle(ref, tgt, K, key):
+        i = oracle.calls
+        oracle.calls += 1
+        links = [j for j in range(n_frames - 1) if j != gap_link]
+        return jnp.asarray(rel_for(links[i]))[None]
+
+    oracle.calls = 0
+    rep = evaluate_vo_odometry(GappyVO(), oracle, jax.random.PRNGKey(0),
+                               pad_multiple=16)[9]
+    assert rep["n_segments"] == 2
+
+    # independent per-segment reports -> expected frame-weighted combine
+    segs = [list(range(0, gap_link + 1)),
+            list(range(gap_link + 1, n_frames))]
+    seg_reps = []
+    for seg in segs:
+        est = np.asarray(chain_poses(jnp.asarray(
+            np.stack([rel_for(i) for i in seg[:-1]]))))
+        seg_reps.append((len(est), evaluate_trajectory(est, gt[seg])))
+    n_tot = sum(n for n, _ in seg_reps)
+    exp_ate = np.sqrt(sum(n * r["ate_rmse"] ** 2
+                          for n, r in seg_reps) / n_tot)
+    exp_t = sum(n * r["t_err_pct"] for n, r in seg_reps) / n_tot
+    np.testing.assert_allclose(rep["ate_rmse"], exp_ate, rtol=1e-9)
+    np.testing.assert_allclose(rep["t_err_pct"], exp_t, rtol=1e-9)
+    # the second segment's yaw drift must be visible in the aggregate
+    assert seg_reps[0][1]["ate_rmse"] < 1e-6 < rep["ate_rmse"]
+    # per_length merged across BOTH segments: with identical GT paths the
+    # merged r_err at L=100 is the (equal-weight) mean of the two
+    for L, (t_e, r_e) in rep["per_length"].items():
+        exp_r = np.mean([r["per_length"][L][1] for _, r in seg_reps])
+        np.testing.assert_allclose(r_e, exp_r, rtol=1e-9)
+    assert rep["per_length"]  # toy path is long enough for the table
+
+
 def test_odometry_smoke_saved_poses_to_ate(vo_root, tmp_path):
     """Chain saved per-pair poses into a trajectory and score ATE vs the
     GT trajectory — the reference outsources this to kitti-odom-eval

@@ -285,6 +285,40 @@ def test_posenet_training_receives_pose_loss_gradients():
     )
 
 
+def test_pose_rot_weight_config_reaches_loss():
+    """train.pose_rot_weight must flow into pose_regression_loss (ADVICE
+    r3: the knob was silently ignored in favor of the hardcoded 20.0).
+    Same params + batch, two weights -> the pose_loss metric must scale
+    accordingly."""
+    from deep_sfm_revisited_tpu.train.trainer import (
+        _build_loss_fn,
+        create_train_state,
+    )
+    import __graft_entry__ as g
+
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
+    cfg = cfg.override(**{"pose.estimator": "POSENET",
+                          "train.fix_flownet": True})
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 96),
+        steps_per_epoch=10,
+    )
+    batch = g._batch(1, 64, 96)
+    key = jax.random.PRNGKey(1)
+
+    def pose_loss(c):
+        fn = jax.jit(lambda p, bs, b, k: _build_loss_fn(model, c)(
+            p, bs, b, k)[1][0]["pose_loss"])
+        return float(fn(state.params, state.batch_stats, batch, key))
+
+    pl20 = pose_loss(cfg)
+    pl0 = pose_loss(cfg.override(**{"train.pose_rot_weight": 0.0}))
+    assert np.isfinite(pl20) and np.isfinite(pl0)
+    # weight 0 kills the (x20) rotation term entirely; with it the loss
+    # must be strictly larger
+    assert pl20 > pl0 >= 0.0
+
+
 def test_chained_train_step_matches_sequential_singles():
     """ChainedStep (K fused steps + on-device metric sums) must be
     step-for-step identical to K sequential single steps with the same
@@ -351,6 +385,91 @@ def test_chained_train_step_matches_sequential_singles():
     assert n_bad / n_tot < 0.01, (n_bad, n_tot)
     np.testing.assert_allclose(np.asarray(acc), np.sum(vecs, axis=0),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_chained_train_exposes_per_step_loss_spikes(tmp_path):
+    """The chained train loop logs window MEANS for zero channel cost,
+    but must ALSO log each step's own loss from the on-device ring
+    (round-3 weak #4): a mid-window loss spike has to be visible in the
+    logged stream, not averaged away."""
+    import json
+    import os
+
+    from deep_sfm_revisited_tpu.train.loop import train_epoch
+    from deep_sfm_revisited_tpu.train.trainer import (
+        ChainedStep,
+        create_train_state,
+    )
+    from deep_sfm_revisited_tpu.utils.logging import MetricLogger
+    import __graft_entry__ as g
+
+    cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
+    cfg = cfg.override(use_gt_pose=True,
+                       **{"train.image_freq": 3})
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_shape=(1, 32, 48),
+        steps_per_epoch=10,
+    )
+    batches = []
+    for i in range(6):
+        b = {k: np.asarray(v) for k, v in g._batch(1, 32, 48).items()}
+        if i == 2:  # mid-window anomaly: GT outside the valid window
+            # [min_depth, nlabel*min_depth] masks every pixel out and the
+            # loss collapses to ~0 for exactly this step
+            b["depth_gt"] = b["depth_gt"] * 0 + 500.0
+        batches.append(b)
+
+    class L:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    mlog = MetricLogger(str(tmp_path), "train")
+    step = ChainedStep(model, cfg, noise=False)
+    train_epoch(L(), state, step, 0, jax.random.PRNGKey(1),
+                metric_logger=mlog, print_freq=6, chain=2)
+    mlog.close()
+
+    per_step = {}
+    means = []
+    with open(os.path.join(str(tmp_path), "train",
+                           "scalars.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["tag"] == "loss_step":
+                per_step[rec["step"]] = rec["value"]
+            elif rec["tag"] == "loss":
+                means.append(rec["value"])
+    # all 6 steps individually visible, anomaly at step index 3 (1-based
+    # global steps: window end = 6, entries 1..6 -> anomaly at 3)
+    assert len(per_step) == 6
+    spike = per_step[3]
+    others = [v for s, v in per_step.items() if s != 3]
+    assert spike < min(others) / 10, (spike, others)
+    assert min(others) > 0.0
+    # consistency: the window mean equals the mean of the per-step trace
+    np.testing.assert_allclose(
+        means[-1], np.mean(list(per_step.values())), rtol=1e-5)
+
+    # image panes (round-3 missing #1): with image_freq=3 the window-end
+    # read emits input/flow/depth panes as PNGs AND tfevents image
+    # summaries (≙ main.py:429-447)
+    from deep_sfm_revisited_tpu.utils.tb_events import read_events
+
+    train_dir = os.path.join(str(tmp_path), "train")
+    pngs = [f for f in os.listdir(train_dir) if f.endswith(".png")]
+    assert any("train_input" in f for f in pngs)
+    assert any("train_flow" in f for f in pngs)
+    assert any("train_depth_pred" in f for f in pngs)
+    assert any("train_depth_gt" in f for f in pngs)
+    ev_file = [f for f in os.listdir(train_dir) if "tfevents" in f][0]
+    img_tags = {e["tag"] for e in read_events(os.path.join(train_dir,
+                                                           ev_file))
+                if "image" in e}
+    assert {"train/input", "train/flow", "train/depth_pred",
+            "train/depth_gt"} <= img_tags
 
 
 def test_chained_validate_matches_plain_validate():
