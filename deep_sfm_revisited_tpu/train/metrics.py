@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from deep_sfm_revisited_tpu.ops.rotations import matrix_to_quat
@@ -81,11 +82,12 @@ def demon_mask(depth_gt: jnp.ndarray, raw_hw: jnp.ndarray | None = None) -> jnp.
     return valid
 
 
-def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def _masked_median_sort(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median of masked entries of a 1-D slice (fixed-shape via sorting).
 
     Invalid entries are pushed to +inf; the median index is derived from
-    the valid count.
+    the valid count. Kept as the reference implementation for the
+    bisection variant's equality tests.
     """
     n = x.shape[0]
     vals = jnp.where(mask, x, jnp.inf)
@@ -95,6 +97,51 @@ def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     lo = s[jnp.clip(mid, 0, n - 1)]
     hi = s[jnp.clip(cnt - 1 - mid, 0, n - 1)]  # == mid for odd cnt
     med = 0.5 * (lo + hi)
+    return jnp.where(cnt > 0, med, 1.0)
+
+
+def _f32_order_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Map f32 to uint32 keys whose UNSIGNED order equals float total
+    order (standard sign-flip trick: negative floats get bitwise-NOT,
+    non-negative get the sign bit set)."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    neg = (u >> 31).astype(jnp.bool_)
+    return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact masked median via 32-step bit bisection (round-4 perf:
+    the chained-validate Eigen metrics paid +8.2 ms/pair for per-image
+    full-sort medians, PERF.md round-3). Each bisection step is one
+    masked count — 32 streaming reductions instead of an O(n log n)
+    sort, and XLA keeps the whole fori_loop on-device. Bit-exact vs
+    `_masked_median_sort` (tests/test_metrics_protocol.py): the k-th
+    order statistics are recovered exactly, not approximated.
+    """
+    keys = jnp.where(mask, _f32_order_key(x),
+                     jnp.uint32(0xFFFFFFFF))  # invalid -> +max key
+    cnt = jnp.sum(mask)
+    k_lo = jnp.maximum(cnt - 1, 0) // 2
+    k_hi = cnt - 1 - k_lo  # == k_lo for odd cnt
+    ranks = jnp.stack([k_lo, k_hi])  # (2,)
+
+    def body(i, bounds):
+        lo, hi = bounds  # (2,) uint32 each; invariant: kth in [lo, hi]
+        mid = lo + (hi - lo) // 2
+        # one pass over the data serves BOTH order statistics
+        c = jnp.sum(keys[None, :] <= mid[:, None], axis=1)
+        take_lo = c >= ranks + 1
+        return (jnp.where(take_lo, lo, mid + 1),
+                jnp.where(take_lo, mid, hi))
+
+    lo0 = jnp.zeros((2,), jnp.uint32)
+    hi0 = jnp.full((2,), 0xFFFFFFFF, jnp.uint32)
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    # invert the order key back to f32
+    neg = (lo & jnp.uint32(0x80000000)) == 0
+    bits = jnp.where(neg, ~lo, lo & jnp.uint32(0x7FFFFFFF))
+    vals = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    med = 0.5 * (vals[0] + vals[1])
     return jnp.where(cnt > 0, med, 1.0)
 
 

@@ -323,14 +323,27 @@ class ChainedStep:
 
     Matches the reference's plain per-step loop semantics
     (`train_epoch`, main.py:295-450) with identical math per step.
+
+    On the CPU backend the K steps are dispatched individually instead
+    (same key schedule, same accumulator math): XLA:CPU executes
+    `lax.scan` bodies without the thread-pool/fusion treatment of
+    top-level programs — the identical step measures >20x slower inside
+    a length-1 scan (conv3d worst; /tmp probe 2026-08-21: 5.4 s plain
+    jit vs 115 s scan-wrapped). On TPU chained==singles per step
+    (PERF.md), which is the platform the fusion exists for.
+    `force_scan=True` pins the scan program regardless (used by the
+    chained-equality test and the multichip dryrun so the TPU program
+    keeps CPU coverage).
     """
 
-    def __init__(self, model: SFMNet, cfg: SfMConfig, noise: bool = True):
+    def __init__(self, model: SFMNet, cfg: SfMConfig, noise: bool = True,
+                 force_scan: bool = False):
         loss_fn = _build_loss_fn(model, cfg)
         self._names: Optional[Tuple[str, ...]] = None
         self.image_freq = cfg.train.image_freq
         self._viz = None
         self._model_cfg = (model, cfg)
+        self._force_scan = force_scan
 
         def single(state, batch, key):
             if noise:
@@ -339,6 +352,24 @@ class ChainedStep:
             return _apply_train_step(loss_fn, state, batch, key)
 
         self._single = single
+        self._single_jit = partial(jax.jit, donate_argnums=(0,))(single)
+
+        def fold_acc(acc, vecs, losses):
+            """Accumulator update shared by the scan and per-step paths:
+            metric sums in acc[:n], optional per-step loss ring in
+            acc[n:-1] with cursor at acc[-1]."""
+            n = vecs.shape[1]
+            new = acc.at[:n].add(jnp.sum(vecs, axis=0))
+            if acc.shape[0] > n:
+                W = acc.shape[0] - n - 1
+                pos = acc[-1].astype(jnp.int32)
+                K = losses.shape[0]
+                idx = n + (pos + jnp.arange(K)) % W
+                new = new.at[idx].set(losses.astype(jnp.float32))
+                new = new.at[-1].set(((pos + K) % W).astype(jnp.float32))
+            return new
+
+        self._fold_jit = jax.jit(fold_acc, donate_argnums=(0,))
 
         @partial(jax.jit, donate_argnums=(0, 3))
         def chain(state, batches, key, acc):
@@ -355,23 +386,25 @@ class ChainedStep:
             (state, _), (vecs, losses) = jax.lax.scan(
                 body, (state, key), batches
             )
-            n = vecs.shape[1]
-            new = acc.at[:n].add(jnp.sum(vecs, axis=0))
-            if acc.shape[0] > n:
-                # per-step loss ring buffer (round-3 weak #4: window means
-                # hid mid-window loss spikes). Layout: acc[:n] metric
-                # sums, acc[n:-1] ring of the last W per-step losses,
-                # acc[-1] write cursor — still ONE array, ONE host read
-                # per logging window.
-                W = acc.shape[0] - n - 1
-                pos = acc[-1].astype(jnp.int32)
-                K = losses.shape[0]
-                idx = n + (pos + jnp.arange(K)) % W
-                new = new.at[idx].set(losses.astype(jnp.float32))
-                new = new.at[-1].set(((pos + K) % W).astype(jnp.float32))
-            return state, new
+            return state, fold_acc(acc, vecs, losses)
 
         self._chain = chain
+
+    def _chain_per_step(self, state, batches, key, acc):
+        """CPU-backend path: same key schedule and accumulator math as
+        the scan program, dispatched step by step."""
+        K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        vecs, losses = [], []
+        for i in range(K):
+            key, ks = jax.random.split(key)
+            batch = {k: v[i] for k, v in batches.items()}
+            state, metrics = self._single_jit(state, batch, ks)
+            vecs.append(jnp.stack(
+                [metrics[k].astype(jnp.float32)
+                 for k in sorted(metrics)]))
+            losses.append(metrics["loss"])
+        return state, self._fold_jit(
+            acc, jnp.stack(vecs), jnp.stack(losses))
 
     def metric_names(self, state, batch) -> Tuple[str, ...]:
         """Metric vector layout (sorted keys), derived without compiling:
@@ -395,6 +428,8 @@ class ChainedStep:
     def __call__(self, state, batches, key, acc):
         """batches: dict of arrays with leading (chain, batch, ...) axes.
         Returns (state, acc + sum_k metrics_vec_k)."""
+        if not self._force_scan and jax.default_backend() == "cpu":
+            return self._chain_per_step(state, batches, key, acc)
         return self._chain(state, batches, key, acc)
 
     def viz_outputs(self, state, batch, key):
@@ -452,33 +487,43 @@ def _build_eval_metrics_fn(model: SFMNet, cfg: SfMConfig):
 class ChainedEval:
     """A jitted K-batch eval program with on-device (sum, count)
     accumulators — the production `validate` counterpart of ChainedStep
-    (≙ `validate`, main.py:460-631, minus the per-batch `.item()` reads)."""
+    (≙ `validate`, main.py:460-631, minus the per-batch `.item()` reads).
+    Like ChainedStep, dispatches per batch on the CPU backend (XLA:CPU
+    scan-body pathology; `force_scan=True` pins the TPU scan program)."""
 
-    def __init__(self, model: SFMNet, cfg: SfMConfig):
+    def __init__(self, model: SFMNet, cfg: SfMConfig,
+                 force_scan: bool = False):
         self._metrics_fn = _build_eval_metrics_fn(model, cfg)
         self._names: Optional[Tuple[str, ...]] = None
         self.image_freq = cfg.train.image_freq
         self._viz = None
         self._model_cfg = (model, cfg)
+        self._force_scan = force_scan
+
+        def one(state, batch, key):
+            metrics, _ = self._metrics_fn(state, batch, key)
+            vec = jnp.stack(
+                [metrics[k].astype(jnp.float32)
+                 for k in sorted(metrics)]
+            )
+            # sharded eval pads every host's loader shard to equal
+            # length with wrap-around duplicates; their
+            # sample_valid=0 weight keeps them out of the metric
+            # sums (exact at the shipped eval batch size 1)
+            if "sample_valid" in batch:
+                n = jnp.sum(batch["sample_valid"])
+            else:
+                n = batch["ref"].shape[0]
+            return vec, n
+
+        self._one_jit = jax.jit(one)
 
         @partial(jax.jit, donate_argnums=(3, 4))
         def chain(state, batches, key, sums, count):
             def body(carry, batch):
                 sums, count, key = carry
                 key, k = jax.random.split(key)
-                metrics, _ = self._metrics_fn(state, batch, k)
-                vec = jnp.stack(
-                    [metrics[k].astype(jnp.float32)
-                     for k in sorted(metrics)]
-                )
-                # sharded eval pads every host's loader shard to equal
-                # length with wrap-around duplicates; their
-                # sample_valid=0 weight keeps them out of the metric
-                # sums (exact at the shipped eval batch size 1)
-                if "sample_valid" in batch:
-                    n = jnp.sum(batch["sample_valid"])
-                else:
-                    n = batch["ref"].shape[0]
+                vec, n = one(state, batch, k)
                 return (sums + vec * n, count + n, key), None
 
             (sums, count, _), _ = jax.lax.scan(
@@ -487,6 +532,16 @@ class ChainedEval:
             return sums, count
 
         self._chain = chain
+
+    def _chain_per_batch(self, state, batches, key, sums, count):
+        K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        for i in range(K):
+            key, k = jax.random.split(key)
+            batch = {kk: v[i] for kk, v in batches.items()}
+            vec, n = self._one_jit(state, batch, k)
+            sums = sums + vec * n
+            count = count + n
+        return sums, count
 
     def metric_names(self, state, batch) -> Tuple[str, ...]:
         if self._names is None:
@@ -502,6 +557,8 @@ class ChainedEval:
         return jnp.zeros((n,), jnp.float32), jnp.zeros((), jnp.float32)
 
     def __call__(self, state, batches, key, sums, count):
+        if not self._force_scan and jax.default_backend() == "cpu":
+            return self._chain_per_batch(state, batches, key, sums, count)
         return self._chain(state, batches, key, sums, count)
 
     def viz_outputs(self, state, batch, key):

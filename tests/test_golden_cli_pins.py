@@ -1,0 +1,95 @@
+"""End-to-end CLI regression pins on the golden synthetic KITTI trees.
+
+Round-3 verdict 'next' #2: the abs_rel <= 0.055 KITTI target is
+unfalsifiable offline, so pin the FULL product path instead — loaders
+-> transforms -> padding -> model -> RANSAC -> Eigen protocol — by
+running `cli.main -v` and `--record-pose` on miniature KITTI-layout
+trees rendered from the analytic scene (data/synthetic.py) and
+asserting the exact metric values. The weights are the deterministic
+seed-0 initialization; every number below reproduces to float
+stability, so ANY change in a loader convention, transform, padding
+rule, metric mask, pose orientation, or RANSAC protocol moves a pin.
+
+Pinned values generated 2026-08-21 (CPU backend, this environment);
+tolerance 1e-3 absorbs run-to-run float noise only.
+≙ the reference eval workflow `main.py:460-631` and the RECORD_POSE
+branch `main.py:504-530`.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+TINY = [
+    "--override",
+    "flow.estimator=DICL",
+    "depth.nlabel=8", "depth.min_depth=2.5", "depth.remat=False",
+    "pose.num_hypotheses=32", "pose.ransac_iter=1",
+    "pose.num_correspondences=256", "pose.polish_iters=3",
+    "train.mixed_prec=False",
+    "data.val_size=(128,128)", "data.pad_multiple=128",
+    "train.image_freq=0",
+]
+
+VALIDATE_PINS = {
+    "a1": 0.231559, "a2": 0.414099, "a3": 0.610878,
+    "abs_rel": 0.524073, "l1_inv": 0.094861, "rmse": 5.867589,
+    "rmse_log": 0.703479, "sc_inv": 0.676143, "sq_rel": 2.960437,
+    # the untrained flow net yields no confident candidates -> the
+    # uniform-grid fallback fires on every frame (observable, pinned)
+    "num_matches": 0.0, "uniform_fallback": 1.0,
+}
+
+POSE_PINS = {
+    "rot_err": 0.010049, "rot_err_fw": 0.009981,
+    "trans_angle": 1.841277, "trans_angle_fw": 1.9505,
+    "trans_dist": 1.517717, "trans_dist_fw": 1.631805,
+    "num_matches": 0.0, "uniform_fallback": 1.0,
+}
+
+# NOTE: pins were generated under the tests/conftest.py environment
+# (8-device virtual CPU, x64) — XLA:CPU device-count changes reduction
+# partitioning enough to move the depth metrics by ~0.03.
+ODO_PINS = {"ate_rmse": 0.291446, "rpe_trans": 1.231224}
+
+TOL = 1e-3
+
+
+@pytest.mark.heavy
+def test_golden_cli_validate_pins(tmp_path):
+    from deep_sfm_revisited_tpu.cli import main
+    from deep_sfm_revisited_tpu.data.synthetic import write_kitti_raw_tree
+
+    raw = str(tmp_path / "raw")
+    write_kitti_raw_tree(raw, n_frames=6, hw=(128, 128), focal=100.0,
+                         n_test=2)
+    res = main(["--data", raw, "--dataset", "kitti_raw", "-v",
+                "--gt-depth-dir", os.path.join(raw, "gt_depth"),
+                "--out", str(tmp_path / "out"), "--workers", "1", *TINY])
+    assert set(VALIDATE_PINS) <= set(res)
+    for k, v in VALIDATE_PINS.items():
+        assert abs(float(res[k]) - v) < TOL, (k, float(res[k]), v)
+    # the config dump is part of the driver contract (round-3 missing #2)
+    assert os.path.exists(tmp_path / "out" / "default" / "config.yaml")
+
+
+@pytest.mark.heavy
+def test_golden_cli_record_pose_pins(tmp_path):
+    from deep_sfm_revisited_tpu.cli import main
+    from deep_sfm_revisited_tpu.data.synthetic import write_kitti_vo_tree
+
+    vo = str(tmp_path / "vo")
+    write_kitti_vo_tree(vo, seqs=(9,), n_frames=5, hw=(128, 128),
+                        focal=100.0)
+    res = main(["--data", vo, "--dataset", "kitti_vo", "--record-pose",
+                "--out", str(tmp_path / "out"), "--workers", "1", *TINY])
+    odo = res.pop("odometry")
+    for k, v in POSE_PINS.items():
+        assert abs(float(res[k]) - v) < TOL, (k, float(res[k]), v)
+    rep = odo[9]
+    for k, v in ODO_PINS.items():
+        assert abs(float(rep[k]) - v) < TOL, (k, float(rep[k]), v)
+    # the toy path is far shorter than 100 m: the KITTI segment table
+    # must be empty-NaN, not crash
+    assert np.isnan(rep["t_err_pct"])

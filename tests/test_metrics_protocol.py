@@ -166,3 +166,44 @@ def test_collate_zero_pads_gt_and_records_raw_hw():
         batch["ref"][0, h:, :w], np.broadcast_to(
             s["ref"][h - 1], (384 - h, w, 3))
     )
+
+
+def test_bisection_median_equals_sort_median():
+    """The 32-step bit-bisection masked median (the round-4 replacement
+    for the chained-validate full-image sort) must be BIT-EXACT against
+    the sort-based reference on every edge case: empty mask, single
+    element, duplicates, even/odd counts, negatives, denormal-free
+    random depths."""
+    import jax
+
+    from deep_sfm_revisited_tpu.train.metrics import (
+        _masked_median,
+        _masked_median_sort,
+    )
+
+    rng = np.random.default_rng(0)
+    cases = []
+    x = rng.uniform(0.01, 80.0, 4096).astype(np.float32)
+    m = rng.random(4096) < 0.4
+    cases.append((x, m))
+    cases.append((x, np.zeros(4096, bool)))          # empty -> 1.0
+    m1 = np.zeros(4096, bool)
+    m1[7] = True
+    cases.append((x, m1))                            # single element
+    xd = np.repeat(rng.uniform(1, 10, 16).astype(np.float32), 256)
+    cases.append((xd, rng.random(4096) < 0.5))       # heavy duplicates
+    xn = rng.normal(0, 5, 4096).astype(np.float32)
+    cases.append((xn, rng.random(4096) < 0.5))       # negatives too
+    m_even = np.zeros(4096, bool)
+    m_even[:10] = True
+    m_odd = np.zeros(4096, bool)
+    m_odd[:11] = True
+    cases.append((x, m_even))
+    cases.append((x, m_odd))
+
+    for x_, m_ in cases:
+        a = float(jax.jit(_masked_median)(jnp.asarray(x_),
+                                          jnp.asarray(m_)))
+        b = float(jax.jit(_masked_median_sort)(jnp.asarray(x_),
+                                               jnp.asarray(m_)))
+        assert a == b, (a, b, m_.sum())

@@ -165,7 +165,10 @@ def test_fit_path_wires_long_axis_shardings_and_trains():
     assert model.cost_sharding is not None
     assert model.point_sharding is not None
 
-    step = ChainedStep(model, cfg, noise=False)
+    # force_scan: this test is the coverage for the TPU scan program
+    # executing on a mesh (the CPU backend otherwise falls back to
+    # per-step dispatch)
+    step = ChainedStep(model, cfg, noise=False, force_scan=True)
     batches = [
         {k: np_.asarray(v)
          for k, v in g._batch(4, 64, 96,

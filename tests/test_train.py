@@ -346,7 +346,9 @@ def test_chained_train_step_matches_sequential_singles():
     b2 = g._batch(1, 64, 96, key=jax.random.PRNGKey(11))
     batches = {k: jnp.stack([b1[k], b2[k]]) for k in b1}
 
-    chained = ChainedStep(model, cfg, noise=False)
+    # force_scan pins the TPU scan program (the CPU backend otherwise
+    # takes the per-step fallback, which this test must NOT shortcut)
+    chained = ChainedStep(model, cfg, noise=False, force_scan=True)
     one = {k: v[0] for k, v in batches.items()}
     names = chained.metric_names(state, one)
     acc = chained.init_acc(state, one)
@@ -503,7 +505,8 @@ def test_chained_validate_matches_plain_validate():
 
     plain = validate(host_batches, state, make_eval_step(model, cfg),
                      jax.random.PRNGKey(7))
-    chained = validate(host_batches, state, ChainedEval(model, cfg),
+    chained = validate(host_batches, state,
+                       ChainedEval(model, cfg, force_scan=True),
                        jax.random.PRNGKey(7), chain=2)
     assert set(plain) == set(chained)
     for k in plain:
