@@ -140,7 +140,9 @@ def time_train_device_fed(n_steps=32, chain=4, print_freq=20):
     windows = [_stack_device(host[i:i + chain])
                for i in range(0, n_steps, chain)]
     one = {k: np.asarray(v[0]) for k, v in windows[0].items()}
-    acc = step.init_acc(state, one)
+    # round 4: the production loop always carries the per-step loss ring
+    # (trace); time the same configuration
+    acc = step.init_acc(state, one, trace=print_freq + 2 * chain)
     names = step.metric_names(state, one)
     key = jax.random.PRNGKey(1)
     # warmup: one window (compile) + one read
