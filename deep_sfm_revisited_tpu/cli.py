@@ -142,6 +142,7 @@ def build_loaders(cfg, args, shard_id: int = 0, num_shards: int = 1):
             args.data, train=False, kitti_697=cfg.data.kitti_697,
             gt_depth_dir=args.gt_depth_dir, transform=val_tf,
             eigen_sfm=cfg.data.eigen_sfm,
+            filtered_pair=cfg.data.filtered_pair,
         )
     # multi-host: batch_size is the GLOBAL batch; each process loads its
     # 1/num_shards stride and multihost.global_batch assembles the rest
@@ -337,8 +338,13 @@ def main(argv=None):
             if jax.process_index() != 0:
                 multihost.barrier("pose-tools-done")
                 return None
-            _, val_loader = build_loaders(cfg, args)
+            # everything process 0 runs — INCLUDING loader construction,
+            # which can raise on a bad --data path — sits inside the try
+            # whose finally hits the barrier, so a process-0 failure can
+            # never leave the other processes parked forever
             try:
+                _, val_loader = build_loaders(cfg, args)
+
                 def run_pose_tools():
                     return _eval_tools(args, cfg, val_loader)
 

@@ -52,6 +52,11 @@ class FlowConfig:
     # scale (ref kitti.yml:69-73, SCALE_CONTEXT2=0.5 .. SCALE_CONTEXT6=0.03125)
     dicl_scale_context: Tuple[float, ...] = (0.5, 0.25, 0.125, 0.0625, 0.03125)
     dicl_flow_reg_by_max: bool = True     # soft-argmax window around argmax
+    # windowed (truncated) soft-argmax: mask the cost to a ±size square
+    # around the argmax displacement pre-softmax (ref TRUNCATED /
+    # TRUNCATED_SIZE, lib/config.py:298-299, DICL_shallow.py:277-316)
+    dicl_truncated: bool = False
+    dicl_truncated_size: int = 3
 
 
 @dataclass(frozen=True)
@@ -62,6 +67,11 @@ class DepthConfig:
     nlabel: int = 64          # depth planes; 128 for the KITTI recipe (README.md:52)
     min_depth: float = 1.0    # ref MIN_DEPTH (cfgs/kitti.yml)
     psnet_context: bool = True        # 2D context refinement, ref PSNET_CONTEXT
+    trunc_soft: bool = False          # windowed (±nlabel//2 around argmax,
+                                      # renormalized) soft-argmax regression
+                                      # (ref TRUNC_SOFT, lib/config.py:77;
+                                      # see soft_argmax_disparity for why the
+                                      # literal reference form is unusable)
     psnet_dep_context: bool = True    # depth-domain context head, ref PSNET_DEP_CONTEXT
     context_bn: bool = False          # BN in context convs, ref CONTEXT_BN
     predict_by_depth: bool = False    # regress depth rather than inverse depth
@@ -116,6 +126,14 @@ class PoseConfig:
     min_matches: int = 20              # lib/config.py:55
     num_correspondences: int = 1024    # on-device flow-subsample count (replaces SIFT)
     corr_margin: int = 10              # image-border margin (models/SFMnet.py:183)
+    # correspondence-sampling weight (replaces the SIFT/SURF keypoint
+    # masks, models/SFMnet.py:203-254): "entropy" = flow-net confidence
+    # (DICL FlowEntropy; the shipped default — wins the round-5 A/B on
+    # adversarial golden scenes), "texture" = Shi-Tomasi image texture
+    # score (ops/flow_ops.texture_pseudo_entropy — the closest analogue
+    # of the reference's keypointed path), "uniform" = the reference's
+    # dense-grid fallback as the primary
+    sampler: str = "entropy"
     polish_iters: int = 10             # IRLS robust polish rounds (polish_E.cu:1470)
     polish_huber_delta: float = 1e-3   # ref SFMnet delta=0.001 (models/SFMnet.py:36)
     use_polish: bool = True
@@ -150,6 +168,11 @@ class DataConfig:
     random_offset: bool = True       # random -1/-2 pair offset
     kitti_697: bool = True           # Eigen 697-image split (KITTI_loader.py:283-301)
     eigen_sfm: bool = False
+    filtered_pair: bool = True       # eval target frames from the curated
+                                     # val_img1_list_*.npy in the dataset
+                                     # root when present (ref FILTERED_PAIR,
+                                     # lib/config.py:85, KITTI_loader.py:
+                                     # 310-317,338-340)
     eval_protocol: str = "eigen"     # eigen | demon masking at validate
                                      # (ref DEMON_DATASET branch, main.py:565-566)
     pad_multiple: int = 128          # pad H,W to /128 (main.py:315-338)

@@ -231,6 +231,7 @@ class KittiRawDataset:
         random_offset: bool = True,
         random_fw_bw: bool = True,
         eigen_sfm: bool = False,
+        filtered_pair: bool = True,
     ):
         self.root = root
         self.train = train
@@ -258,6 +259,27 @@ class KittiRawDataset:
         # precomputed dicts when available (≙ KITTI_loader.py:303-304)
         self.calib_dict = self._try_load_dict("kitti_raw_calib_dict.npy")
         self.pose_dict = self._try_load_dict("kitti_raw_pose_dict.npy")
+
+        # FILTERED_PAIR (ref default True, lib/config.py:85): at eval
+        # time the TARGET frame comes from a curated per-sample path
+        # list shipped in the dataset root (`val_img1_list_697.npy` /
+        # `_652.npy`, ≙ KITTI_loader.py:310-317,338-340) rather than
+        # the deterministic -1 neighbour. Unlike the reference (which
+        # crashes on a missing list), we fall back to neighbour pairing
+        # when the artifact is absent so golden/synthetic trees keep
+        # working.
+        self.val_img1_list = None
+        if filtered_pair and not train:
+            name = ("val_img1_list_697.npy" if kitti_697
+                    else "val_img1_list_652.npy")
+            p = os.path.join(root, name)
+            if os.path.exists(p):
+                lst = np.load(p, allow_pickle=True)
+                if eigen_sfm and not kitti_697:
+                    lst = [lst[int(i)] for i in idx]
+                self.val_img1_list = list(lst)
+                assert len(self.val_img1_list) == len(self.items), (
+                    len(self.val_img1_list), len(self.items))
 
     def _try_load_dict(self, name):
         p = os.path.join(self.root, name)
@@ -295,9 +317,13 @@ class KittiRawDataset:
         if self.random_fw_bw and rng.random() > 0.5:
             offset = -offset
         img_dir = os.path.join(self.root, folder, "image_02", "data")
-        p1 = os.path.join(img_dir, f"{f2 + offset:010d}.png")
-        if not os.path.exists(p1):
-            p1 = os.path.join(img_dir, f"{f2 - offset:010d}.png")
+        if self.val_img1_list is not None:
+            # curated eval pair (≙ KITTI_loader.py:338-340)
+            p1 = os.path.join(self.root, str(self.val_img1_list[index]))
+        else:
+            p1 = os.path.join(img_dir, f"{f2 + offset:010d}.png")
+            if not os.path.exists(p1):
+                p1 = os.path.join(img_dir, f"{f2 - offset:010d}.png")
         p2 = os.path.join(img_dir, f"{f2:010d}.png")
         f1 = int(os.path.splitext(os.path.basename(p1))[0])
 

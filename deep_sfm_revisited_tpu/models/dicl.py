@@ -188,16 +188,32 @@ def shifted_pairs(x: jnp.ndarray, y: jnp.ndarray, md: int,
     return jnp.stack(stacks, axis=1)  # (B, S2, H, W, 2C)
 
 
-def flow_regression(cost: jnp.ndarray, md: int) -> jnp.ndarray:
+def flow_regression(cost: jnp.ndarray, md: int,
+                    truncated_size: Optional[int] = None) -> jnp.ndarray:
     """Soft-argmax over the (2md+1)^2 displacement axis
-    (≙ `FlowRegression`, :271-321, FLOW_REG_BY_MAX)."""
+    (≙ `FlowRegression`, :271-321, FLOW_REG_BY_MAX).
+
+    `truncated_size` ≙ cfg.TRUNCATED/TRUNCATED_SIZE
+    (`lib/config.py:298-299`, `DICL_shallow.py:277-316`): before the
+    softmax, mask the cost to a ±truncated_size square window (in the
+    2D displacement plane) around the argmax displacement — the
+    reference builds the same window by 3D-max-pooling the one-hot
+    argmax mask and filling the outside with -inf pre-softmax.
+    """
     B, S2, H, W = cost.shape
     S = 2 * md + 1
-    prob = jax.nn.softmax(cost, axis=1)
     disp = jnp.arange(-md, md + 1, dtype=cost.dtype)
     # stack order: dv outer, du inner
     dv = jnp.repeat(disp, S)[None, :, None, None]
     du = jnp.tile(disp, S)[None, :, None, None]
+    if truncated_size is not None and truncated_size < 2 * md:
+        t = truncated_size
+        amax = jnp.argmax(cost, axis=1)[:, None]  # (B, 1, H, W)
+        dv_a = jnp.take(dv[0, :, 0, 0], amax)
+        du_a = jnp.take(du[0, :, 0, 0], amax)
+        window = ((jnp.abs(dv - dv_a) <= t) & (jnp.abs(du - du_a) <= t))
+        cost = jnp.where(window, cost, -jnp.inf)
+    prob = jax.nn.softmax(cost, axis=1)
     fu = jnp.sum(prob * du, axis=1)
     fv = jnp.sum(prob * dv, axis=1)
     return jnp.stack([fu, fv], axis=-1)  # (B, H, W, 2)
@@ -304,7 +320,11 @@ class DICLFlow(nn.Module):
             else:
                 y_in = warp_flow(yf, up_flow)
             cost = level_cost(xf, y_in, md, match[idx])
-            flow = flow_regression(cost, md)
+            flow = flow_regression(
+                cost, md,
+                truncated_size=(cfg.dicl_truncated_size
+                                if cfg.dicl_truncated else None),
+            )
             if up_flow is not None:
                 flow = flow + up_flow
             if cfg.dicl_sup_raw_flow and all_iters:

@@ -297,7 +297,8 @@ class PSNet(nn.Module):
             prob = jax.nn.softmax(v, axis=1)
             if cfg.predict_by_depth:
                 return soft_argmax_depth(prob, nlabel, min_depth)
-            disp = soft_argmax_disparity(prob, nlabel)
+            disp = soft_argmax_disparity(prob, nlabel,
+                                         trunc_soft=cfg.trunc_soft)
             return min_depth * nlabel / (disp + 1e-16)
 
         depth_init = regress(costs)   # (B, H, W)

@@ -168,8 +168,22 @@ class SFMNet(nn.Module):
             flow = flow.astype(jnp.float32)
 
             if cfg.pose.estimator == "RANSAC":
+                # sampling weight (cfg.pose.sampler): flow-net entropy
+                # (default), Shi-Tomasi texture score of the ref image
+                # (≙ the reference's SIFT keypoint masks,
+                # SFMnet.py:203-254), or the uniform grid
+                if cfg.pose.sampler == "texture":
+                    from deep_sfm_revisited_tpu.ops.flow_ops import (
+                        texture_pseudo_entropy,
+                    )
+
+                    conf_s = texture_pseudo_entropy(ref)
+                elif cfg.pose.sampler == "uniform":
+                    conf_s = None
+                else:
+                    conf_s = conf
                 pose, inliers, num_matches = self._pose_by_ransac(
-                    flow, K_inv, key, conf=conf
+                    flow, K_inv, key, conf=conf_s
                 )
             elif cfg.pose.estimator == "POSENET":
                 # the flow confidence (DICL entropy; None for RAFT) is a

@@ -493,14 +493,34 @@ class SPPFeatureExtractor(nn.Module):
         return feat
 
 
-def soft_argmax_disparity(prob: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+def soft_argmax_disparity(prob: jnp.ndarray, maxdisp: int,
+                          trunc_soft: bool = False) -> jnp.ndarray:
     """Soft-argmax over disparity labels 1..maxdisp.
 
     prob (B, D, H, W) softmax weights -> (B, H, W) expected label.
     Matches `disparityregression` (`models/submodule.py:57-80`,
     TRUNC_SOFT=False default path).
+
+    `trunc_soft` ≙ cfg.TRUNC_SOFT (`lib/config.py:77`): restrict the
+    expectation to a window of half-width maxdisp//2 around the argmax
+    label (the max-pooled one-hot mask of `submodule.py:68-75`) and
+    renormalize the in-window mass. NOTE a faithful transliteration
+    would be unusable: the reference masks the POST-softmax
+    probabilities with -inf and never renormalizes
+    (`submodule.py:74-79`), so any pixel whose argmax sits further than
+    maxdisp//2 from either end sums to -inf. We implement the evident
+    intent — the same windowed/renormalized soft-argmax the reference's
+    own DICL `FlowRegression` TRUNCATED path uses (masking PRE-softmax
+    then re-normalizing, `DICL_shallow.py:288-316`).
     """
     disp = jnp.arange(1, maxdisp + 1, dtype=prob.dtype)[None, :, None, None]
+    if trunc_soft:
+        wsize = maxdisp // 2
+        idx = jnp.argmax(prob, axis=1)[:, None]  # (B, 1, H, W)
+        lab = jnp.arange(maxdisp)[None, :, None, None]
+        window = (jnp.abs(lab - idx) <= wsize).astype(prob.dtype)
+        w = prob * window
+        prob = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
     return jnp.sum(prob * disp, axis=1)
 
 

@@ -42,7 +42,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deep_sfm_revisited_tpu.ops.linalg64 import det3x3, gauss_solve, nullspace
+from deep_sfm_revisited_tpu.ops.linalg64 import (
+    det3x3,
+    gauss_solve,
+    nullspace,
+)
 from deep_sfm_revisited_tpu.ops.polyroots import real_roots
 from deep_sfm_revisited_tpu.ops.rotations import exp_so3, skew
 
@@ -248,13 +252,23 @@ def _constraint_matrix_symbolic(EB: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([det[..., None, :], G], axis=-2)
 
 
-def five_point_candidates(x1: jnp.ndarray, x2: jnp.ndarray):
+def five_point_candidates(x1: jnp.ndarray, x2: jnp.ndarray,
+                          fast: bool = False):
     """Essential-matrix candidates from 5 normalized correspondences.
 
     x1, x2: (..., 5, 2) K^-1-normalized points (ref view / target view).
     Returns (E, valid): E (..., 10, 3, 3) Frobenius-normalized candidates,
     valid (..., 10) bool. Replaces `compute_E_matrices_optimized`
     (`essential_matrix_5pt.cu:1224-1249`).
+
+    `fast=True` (the RANSAC scoring-class candidate path): equilibrated
+    pivot-free Gauss-Jordan + a 12-bisection/5-Newton root schedule —
+    both drop pure-latency sequential chains (round-5 re-ablation). A
+    rare ill-conditioned sample can yield a garbage candidate, which
+    simply loses the Sampson vote; accuracy on synthetic scenes is
+    unchanged at every noise/outlier level (scratch/f32_solve_study.py
+    protocol re-run, PERF.md round 5). The default path keeps partial
+    pivoting + the full schedule for the f64/test oracle.
     """
     dtype = x1.dtype
     ones = jnp.ones_like(x1[..., :1])
@@ -269,9 +283,9 @@ def five_point_candidates(x1: jnp.ndarray, x2: jnp.ndarray):
     M = _constraint_matrix(EB)  # (..., 10, 20)
     L = M[..., _COLS_FIRST]
     R = M[..., _COLS_LAST]
-    # Gauss-Jordan with partial pivoting: reduced right block of [I | L^-1 R]
+    # Gauss-Jordan: reduced right block of [I | L^-1 R]
     # (replaces `reduce_Ematrix`, essential_matrix_5pt.cu:852)
-    Rb = gauss_solve(L, R)  # (..., 10, 10)
+    Rb = gauss_solve(L, R, pivot=not fast)  # (..., 10, 10)
 
     # rows with leading monomials x^2 z, x^2, y^2 z, y^2, xyz, xy
     e, f, g, h, i_, j_ = (Rb[..., k, :] for k in range(4, 10))
@@ -310,7 +324,11 @@ def five_point_candidates(x1: jnp.ndarray, x2: jnp.ndarray):
         + _polymul(k1, _polymul(lx, my) - _polymul(ly, mx))
     )  # (..., 11)
 
-    z, valid = real_roots(p_det, max_roots=10)  # (..., 10)
+    if fast:
+        z, valid = real_roots(p_det, max_roots=10, bisect_iters=12,
+                              newton_iters=5)
+    else:
+        z, valid = real_roots(p_det, max_roots=10)  # (..., 10)
 
     # back-substitute each root: B(z) [x, y, 1]^T = 0
     def poly_eval(cf, zz):
@@ -579,7 +597,14 @@ def polish_essential(
         Jw = J * w[:, None]
         H = J.T @ Jw + damping * jnp.eye(6, dtype=dtype)
         g = Jw.T @ r0
-        delta = -gauss_solve(H, g[:, None])[:, 0]
+        # H is SPD (+damping) — pivoting is unnecessary, and the 6
+        # argmax/row-swap chains per solve are pure latency (round-5
+        # re-ablation: pivot-free GJ 0.115 ms vs 0.833 pivoted at the
+        # 512x5 protocol; an unrolled Cholesky was SLOWER, 3.2 ms — its
+        # n^2 scalar updates serialize worse than vectorized
+        # elimination). Roundoff pathologies yield NaN and are rejected
+        # by the step-acceptance test below.
+        delta = -gauss_solve(H, g[:, None], pivot=False)[:, 0]
         # accept only improving steps (cheap trust region)
         r1 = resid(delta)
         c0 = jnp.sum(w * _huber(r0, huber_delta))
@@ -669,7 +694,7 @@ def ransac_pose(
         # the f64 IRLS polish below restores full accuracy (validated on
         # synthetic scenes, scratch/f32_solve_study.py)
         E, valid = five_point_candidates(
-            s1.astype(solve_dtype), s2.astype(solve_dtype)
+            s1.astype(solve_dtype), s2.astype(solve_dtype), fast=True
         )
         E = E.astype(dtype)
     else:

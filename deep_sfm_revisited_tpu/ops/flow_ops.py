@@ -64,6 +64,50 @@ def _candidate_grid(b, h, w, margin, n, dtype, key):
     return pts
 
 
+def texture_pseudo_entropy(image: jnp.ndarray,
+                           window: int = 5) -> jnp.ndarray:
+    """Shi-Tomasi texture score as a PSEUDO-ENTROPY map (low = textured
+    = trustworthy correspondence), drop-in for the `conf` argument of
+    `sample_correspondences`.
+
+    image (B, H, W, 3) -> (B, H, W, 1). Per pixel: the smaller
+    eigenvalue of the `window`-box-smoothed image structure tensor
+    (the Shi-Tomasi "good features to track" score — the closest
+    on-device analogue of the reference's SIFT/SURF keypoint masks,
+    `models/SFMnet.py:203-254`), normalized by its per-image max and
+    returned as 1 - score so the existing low-entropy-is-good contract
+    and the `good_entropy` threshold apply unchanged.
+
+    Round-5 'next' #5: an image-driven alternative to the flow net's
+    entropy confidence (`cfg.pose.sampler = "texture"`), bracketing the
+    risk of replacing the reference's keypointed pose path with a
+    learned confidence.
+    """
+    from jax import lax
+
+    gray = jnp.mean(image.astype(jnp.float32), axis=-1, keepdims=True)
+    # central differences, replicate-padded
+    gp = jnp.pad(gray, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    ix = 0.5 * (gp[:, 1:-1, 2:] - gp[:, 1:-1, :-2])
+    iy = 0.5 * (gp[:, 2:, 1:-1] - gp[:, :-2, 1:-1])
+
+    k = jnp.ones((window, window, 1, 1), jnp.float32) / (window * window)
+
+    def box(x):
+        return lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    sxx, sxy, syy = box(ix * ix), box(ix * iy), box(iy * iy)
+    half_tr = 0.5 * (sxx + syy)
+    rad = jnp.sqrt(jnp.maximum(
+        (0.5 * (sxx - syy)) ** 2 + sxy ** 2, 0.0))
+    lam_min = jnp.maximum(half_tr - rad, 0.0)
+    peak = jnp.max(lam_min, axis=(1, 2, 3), keepdims=True)
+    score = lam_min / jnp.maximum(peak, 1e-12)
+    return 1.0 - score
+
+
 def sample_correspondences(
     flow: jnp.ndarray,
     K_inv: jnp.ndarray,

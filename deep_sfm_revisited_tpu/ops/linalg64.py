@@ -19,14 +19,35 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def gauss_solve(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """Solve A X = B by Gauss-Jordan with partial pivoting.
+def gauss_solve(A: jnp.ndarray, B: jnp.ndarray,
+                pivot: bool = True) -> jnp.ndarray:
+    """Solve A X = B by Gauss-Jordan.
 
     A (..., n, n), B (..., n, m), static n/m; returns (..., n, m).
     Singular systems yield inf/nan (callers mask degenerate candidates).
+
+    `pivot=True`: partial pivoting (the default — numerically safe).
+    `pivot=False`: one up-front row equilibration (divide each row by
+    its max |entry|) then straight pivot-free elimination — removes the
+    n sequential argmax/row-swap chains, which are pure latency on TPU
+    (round-5 RANSAC re-ablation). Use only where a rare ill-conditioned
+    system is tolerable, e.g. the RANSAC candidate pipeline, where a
+    garbage candidate simply loses the Sampson vote.
     """
     n = A.shape[-1]
     M = jnp.concatenate([A, B], axis=-1)  # (..., n, n+m)
+    if not pivot:
+        scale = jnp.max(jnp.abs(A), axis=-1, keepdims=True)
+        M = M / jnp.maximum(scale, jnp.asarray(1e-30, A.dtype))
+        for k in range(n):
+            pivval = M[..., k, k]
+            safe = jnp.where(jnp.abs(pivval) > 0, pivval, 1.0)
+            row_k = M[..., k, :] / safe[..., None]
+            M = M.at[..., k, :].set(row_k)
+            factor = M[..., :, k]
+            factor = factor.at[..., k].set(0.0)
+            M = M - factor[..., :, None] * row_k[..., None, :]
+        return M[..., :, n:]
     rows = jnp.arange(n)
     for k in range(n):
         col = jnp.abs(M[..., :, k])

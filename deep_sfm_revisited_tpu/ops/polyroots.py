@@ -55,13 +55,22 @@ def _eval_homogeneous(coeffs: jnp.ndarray, s: jnp.ndarray, c: jnp.ndarray):
     return out
 
 
-def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
+def real_roots(coeffs: jnp.ndarray, max_roots: int = 10,
+               bisect_iters: int | None = None,
+               newton_iters: int | None = None):
     """All (odd-multiplicity) real roots of a polynomial, fixed shape.
 
     coeffs: (..., n+1) lowest-power-first. Returns (roots, valid):
     roots (..., max_roots) float, valid (..., max_roots) bool.
+
+    `bisect_iters`/`newton_iters` override the default schedule — the
+    RANSAC candidate path uses a shorter bisection + one extra Newton
+    step (round-5: the bisection chain is pure latency; Newton converges
+    quadratically from the ~1.5e-6-theta bracket 12 halvings leave).
     """
     dtype = coeffs.dtype
+    n_bisect = _BISECT_ITERS if bisect_iters is None else bisect_iters
+    n_newton = _NEWTON_ITERS if newton_iters is None else newton_iters
     # scale-normalize for conditioning (ref normalizes too, sturm.cu:570-587)
     scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True)
     coeffs = coeffs / jnp.maximum(scale, 1e-30)  # 1e-300 flushes to 0 on TPU f64
@@ -108,7 +117,7 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
         f_lo = jnp.where(go_right, f_mid, f_lo)
         return lo, hi, f_lo
 
-    lo, hi, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi, f_lo))
+    lo, hi, _ = jax.lax.fori_loop(0, n_bisect, body, (lo, hi, f_lo))
     # tan in the target dtype (f32 tan near +-pi/2 would waste the bracket)
     roots = jnp.tan((0.5 * (lo + hi)).astype(dtype))
 
@@ -123,7 +132,7 @@ def real_roots(coeffs: jnp.ndarray, max_roots: int = 10):
             out = out * z + cf[..., i, None]
         return out
 
-    for _ in range(_NEWTON_ITERS):
+    for _ in range(n_newton):
         p = horner(coeffs, roots)
         dp = horner(dcoeffs, roots)
         step = p / jnp.where(jnp.abs(dp) > 1e-30, dp, 1.0)

@@ -287,9 +287,11 @@ def evaluate_vo_odometry(
             seg_reps.append((len(est), evaluate_trajectory(est, gt)))
         # frame-weighted aggregate over segments; a gapless sequence
         # reduces to the single-segment report exactly. RMSE-type keys
-        # aggregate in the squared domain (sqrt of the frame-weighted
-        # mean square) so the result IS the RMSE over all scored frames,
-        # not a mean of per-segment RMSEs
+        # (ate_rmse AND the rpe_* pair — odometry.rpe returns
+        # sqrt-mean-square values too) aggregate in the squared domain
+        # (sqrt of the frame-weighted mean square) so the result IS the
+        # RMSE over all scored frames, not a mean of per-segment RMSEs
+        rmse_keys = {"ate_rmse", "rpe_trans", "rpe_rot_deg"}
         total = sum(n for n, _ in seg_reps)
         rep: Dict[str, float] = {}
         for k in seg_reps[0][1]:
@@ -300,7 +302,7 @@ def evaluate_vo_odometry(
             w = sum(n for n, _ in vals)
             if not w:
                 rep[k] = float("nan")
-            elif k.endswith("rmse"):
+            elif k in rmse_keys or k.endswith("rmse"):
                 rep[k] = float(np.sqrt(
                     sum(n * v * v for n, v in vals) / w))
             else:

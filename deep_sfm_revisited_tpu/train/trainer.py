@@ -465,19 +465,42 @@ def _build_eval_metrics_fn(model: SFMNet, cfg: SfMConfig):
             # (≙ main.py:536-541)
             scale = jnp.linalg.norm(batch["pose_gt"][:, :3, 3], axis=-1)
             depth = depth * (scale / t.norm_target)[:, None, None]
-        metrics = evaluate_depth(
-            depth, batch["depth_gt"], nlabel=d.nlabel,
-            min_depth=d.min_depth,
-            raw_hw=batch.get("raw_hw"), protocol=cfg.data.eval_protocol,
-        )
+        # per-sample Eigen protocol: the reference's validate computes
+        # per-IMAGE metrics and AverageMeter-aggregates them
+        # (main.py:593-596). Pooling pixels across the batch would both
+        # deviate from that protocol at eval batch > 1 and let
+        # wrap-padded sample_valid=0 duplicates bias the mean — the
+        # per-sample form is exact at any batch size (bit-identical to
+        # the old pooled form at the shipped batch size 1).
+        raw_hw = batch.get("raw_hw")
+
+        def one_sample(depth_i, gt_i, raw_hw_i=None):
+            m = evaluate_depth(
+                depth_i[None], gt_i[None], nlabel=d.nlabel,
+                min_depth=d.min_depth,
+                raw_hw=None if raw_hw_i is None else raw_hw_i[None],
+                protocol=cfg.data.eval_protocol,
+            )
+            return {k: v.reshape(()) for k, v in m.items()}
+
+        if raw_hw is None:
+            per = jax.vmap(one_sample)(depth, batch["depth_gt"])
+        else:
+            per = jax.vmap(one_sample)(depth, batch["depth_gt"], raw_hw)
+        if "sample_valid" in batch:
+            w = batch["sample_valid"].astype(jnp.float32)
+        else:
+            w = jnp.ones((depth.shape[0],), jnp.float32)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        metrics = {k: jnp.sum(v * w) / wsum for k, v in per.items()}
         if out.get("num_matches") is not None:
             nm = out["num_matches"].astype(jnp.float32)
             metrics = dict(
                 metrics,
-                num_matches=jnp.mean(nm),
-                uniform_fallback=jnp.mean(
-                    (nm < cfg.pose.min_matches).astype(jnp.float32)
-                ),
+                num_matches=jnp.sum(nm * w) / wsum,
+                uniform_fallback=jnp.sum(
+                    (nm < cfg.pose.min_matches).astype(jnp.float32) * w
+                ) / wsum,
             )
         return metrics, out
 
@@ -507,9 +530,11 @@ class ChainedEval:
                  for k in sorted(metrics)]
             )
             # sharded eval pads every host's loader shard to equal
-            # length with wrap-around duplicates; their
-            # sample_valid=0 weight keeps them out of the metric
-            # sums (exact at the shipped eval batch size 1)
+            # length with wrap-around duplicates; eval_metrics masks
+            # their per-sample metrics out of the batch mean via
+            # sample_valid, and weighting that mean by n here makes
+            # (sums/count) the exact mean over valid samples at any
+            # eval batch size
             if "sample_valid" in batch:
                 n = jnp.sum(batch["sample_valid"])
             else:

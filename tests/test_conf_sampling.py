@@ -121,3 +121,120 @@ def test_conf_sampling_fixed_shapes_and_jit():
     y1, _, _ = f(flow, conf, jax.random.PRNGKey(1))
     assert y1.shape == x1.shape
     assert not np.allclose(np.asarray(x1), np.asarray(y1))
+
+
+def _adversarial_scene(h=96, w=192, seed=2):
+    """Round-5 A/B scene (VERDICT 'next' #5): three vertical bands on a
+    REAL rendered image —
+      left  : a repeating 2-D dot lattice (HIGH texture — real corners —
+              but ambiguous matching -> corrupt flow; a matcher's
+              entropy flags it, a texture score cannot),
+      middle: random texture (good flow, both scores confident),
+      right : flat/low texture (no signal -> corrupt flow; both flag).
+    Returns (image, flow, entropy_conf, pose_gt, K_inv, bands)."""
+    rng = np.random.default_rng(seed)
+    K = jnp.asarray(
+        [[[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]]], jnp.float64)
+    K_inv = jnp.linalg.inv(K)
+    R = exp_so3(jnp.asarray([0.015, -0.02, 0.01], jnp.float64))
+    t = jnp.asarray([0.5, 0.1, 0.85])
+    t = t / jnp.linalg.norm(t)
+    pose = jnp.concatenate([R, t[:, None]], axis=-1)[None]
+    depth = jnp.asarray(8.0 + 4.0 * rng.random((1, h, w)), jnp.float64)
+    flow = pose2flow(depth, pose, K, K_inv)
+
+    xs = np.arange(w)
+    ys = np.arange(h)
+    img = np.empty((1, h, w, 3), np.float32)
+    # 2-D repeating dot lattice, period 8 px: REAL corners everywhere
+    # (high Shi-Tomasi score) but matching is ambiguous at every
+    # multiple of the period — texture trusts it, a matcher's entropy
+    # flags it. (1-D stripes would NOT fool the texture score: the
+    # min-eigenvalue correctly rejects pure 1-D structure.)
+    lattice = (np.sin(2 * np.pi * ys / 8.0)[:, None]
+               * np.sin(2 * np.pi * xs / 8.0)[None, :])
+    img[..., :] = (0.5 + 0.45 * lattice)[None, :, :, None]
+    # band widths: lattice w/6, random-texture w/6, flat the remaining
+    # 2/3 — flat dominates so BLIND uniform sampling drowns in ~83%
+    # outliers, while the texture score at least rejects the flat band
+    b1, b2 = w // 6, w // 3
+    img[:, :, b1:b2] = rng.random((1, h, b2 - b1, 3)).astype(np.float32)
+    img[:, :, b2:] = 0.5 + 0.02 * rng.random(
+        (1, h, w - b2, 3)).astype(np.float32)
+
+    band = np.zeros((1, h, w, 1), np.float32)  # 0 left, 1 mid, 2 right
+    band[:, :, b1:b2] = 1.0
+    band[:, :, b2:] = 2.0
+    good = band == 1.0
+    noise = jnp.asarray(rng.normal(0, 10.0, flow.shape), flow.dtype)
+    flow_c = jnp.where(jnp.asarray(good), flow, flow + noise)
+    # a matcher's entropy: confident only where matching is unambiguous
+    ent = jnp.asarray(np.where(good, 0.1, 0.97), flow.dtype)
+    return jnp.asarray(img), flow_c, ent, pose, K_inv
+
+
+def test_sampler_ab_entropy_vs_texture_on_adversarial_scene():
+    """The texture sampler (the on-device analogue of the reference's
+    SIFT keypoint path) is fooled by repeating texture — the matcher's
+    entropy is not. Pins the A/B that justified keeping entropy as the
+    shipped default (`cfg.pose.sampler`), and that the texture score
+    still beats blind uniform sampling (it rejects the flat band)."""
+    img, flow, ent, pose_gt, K_inv = _adversarial_scene()
+    tex = flow_ops.texture_pseudo_entropy(img)
+
+    # the texture score trusts the dot lattice (low pseudo-entropy on
+    # the left band) — that's the failure mode being bracketed
+    b1, b2 = img.shape[2] // 6, img.shape[2] // 3
+    assert float(jnp.mean(tex[:, :, :b1])) < 0.55
+    assert float(jnp.mean(tex[:, :, b2:])) > 0.9
+
+    key = jax.random.PRNGKey(5)
+    P_ent, _ = _recover(flow, ent, K_inv, key)
+    P_tex, _ = _recover(flow, tex.astype(flow.dtype), K_inv, key)
+    P_uni, _ = _recover(flow, None, K_inv, key)
+
+    r_e, t_e = _pose_err(P_ent, pose_gt)
+    r_t, t_t = _pose_err(P_tex, pose_gt)
+    r_u, t_u = _pose_err(P_uni, pose_gt)
+    # entropy recovers tightly; texture must not beat it here
+    assert r_e < 0.01 and t_e < 0.02, (r_e, t_e)
+    assert r_e <= r_t + 1e-6 and t_e <= t_t + 1e-6, (
+        (r_e, t_e), (r_t, t_t))
+    # and texture >= uniform (it at least rejects the flat band):
+    # compare total angular error
+    assert (r_t + t_t) <= (r_u + t_u) + 1e-6, ((r_t, t_t), (r_u, t_u))
+
+
+def test_sampler_knob_wires_through_sfmnet():
+    """cfg.pose.sampler reaches the pose path: all three options run
+    finite through SFMNet and 'uniform' reports no num_matches."""
+    import dataclasses
+
+    from deep_sfm_revisited_tpu.config import SfMConfig
+    from deep_sfm_revisited_tpu.models.sfmnet import SFMNet
+
+    base = SfMConfig().override(**{
+        "flow.estimator": "DICL", "depth.nlabel": 8,
+        "depth.remat": False, "pose.num_hypotheses": 16,
+        "pose.ransac_iter": 1, "pose.num_correspondences": 64,
+        "pose.polish_iters": 2, "train.mixed_prec": False})
+    b, h, w = 1, 128, 128
+    ref = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, 3))
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (b, h, w, 3))
+    K = jnp.asarray([[[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]]],
+                    jnp.float32)
+    variables = None
+    for sampler in ("entropy", "texture", "uniform"):
+        cfg = base.override(**{"pose.sampler": sampler})
+        net = SFMNet(cfg)
+        if variables is None:
+            variables = jax.jit(
+                lambda r, t, k: net.init(jax.random.PRNGKey(2), r, t, k,
+                                         key=jax.random.PRNGKey(3))
+            )(ref, tgt, K)
+        out = net.apply(variables, ref, tgt, K, key=jax.random.PRNGKey(4))
+        assert bool(jnp.all(jnp.isfinite(out["pose"])))
+        if sampler == "uniform":
+            assert out["num_matches"] is None
+        else:
+            assert out["num_matches"] is not None

@@ -293,6 +293,42 @@ def test_kitti_raw_test_split(kitti_raw_root):
     assert s["pose_gt"].shape == (3, 4)
 
 
+def test_kitti_raw_filtered_pair_list(kitti_raw_root):
+    """FILTERED_PAIR: eval target frames come from the curated
+    val_img1_list_697.npy when it exists in the dataset root
+    (≙ KITTI_loader.py:310-317,338-340, ref default True); absent list
+    falls back to neighbour pairing; filtered_pair=False ignores it."""
+    import os
+
+    from deep_sfm_revisited_tpu.data import KittiRawDataset
+
+    folder = "2011_09_26/2011_09_26_drive_0001_sync"
+    lst = np.array([f"{folder}/image_02/data/0000000000.png"], dtype=object)
+    lp = os.path.join(kitti_raw_root, "val_img1_list_697.npy")
+    np.save(lp, lst)
+    try:
+        ds = KittiRawDataset(kitti_raw_root, train=False)
+        assert ds.val_img1_list is not None
+        s = ds[0]
+        # curated target is frame 0 (the default neighbour would be 1);
+        # GT pose spans frames 0->2: ~2x the one-step translation
+        one_step = np.linalg.norm(
+            KittiRawDataset(kitti_raw_root, train=False,
+                            filtered_pair=False)[0]["pose_gt"][:, 3]
+        )
+        assert np.linalg.norm(s["pose_gt"][:, 3]) > 1.5 * one_step
+        # knob off -> neighbour pairing even with the list present
+        ds_off = KittiRawDataset(kitti_raw_root, train=False,
+                                 filtered_pair=False)
+        assert ds_off.val_img1_list is None
+    finally:
+        os.remove(lp)
+    # list absent -> graceful fallback (the reference would crash)
+    ds2 = KittiRawDataset(kitti_raw_root, train=False)
+    assert ds2.val_img1_list is None
+    assert ds2[0]["pose_gt"].shape == (3, 4)
+
+
 class TestLidarExport:
     """Offline RealDepth exporter (≙ lidar_to_depth.py:14-52)."""
 

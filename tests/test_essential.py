@@ -234,3 +234,42 @@ def test_six_point_batched_and_noisy():
     assert len(dists) >= 30
     # noisy minimal 6-pt estimates cluster near the truth
     assert np.median(dists) < 5e-2, np.median(dists)
+
+
+def test_five_point_fast_path_exact():
+    """Round-5 fast candidate pipeline (equilibrated pivot-free GJ +
+    12-bisect/5-Newton roots): the noise-free minimal problem must still
+    contain the true E among candidates, in BOTH f64 and f32."""
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        x1, x2, R, t, E_true = make_scene(key, n_points=5)
+        for dt in (jnp.float64, jnp.float32):
+            E, valid = ess.five_point_candidates(
+                x1.astype(dt), x2.astype(dt), fast=True)
+            dists = [e_distance(E[i].astype(jnp.float64), E_true)
+                     for i in range(10) if valid[i]]
+            assert len(dists) >= 1, (seed, dt)
+            # f32: a single minimal-problem solve carries a loose tail
+            # (pivot-free equilibrated GJ moves seed-2 2e-3 -> 8.5e-3
+            # while improving other seeds); the product-level guarantee
+            # is the RANSAC accuracy study (scratch/f32_solve_study.py:
+            # candidate error washes out in the Sampson vote + f64
+            # polish — f32-fast == f64 at every noise/outlier level)
+            tol = 1e-6 if dt == jnp.float64 else 2e-2
+            assert min(dists) < tol, (seed, dt, min(dists))
+
+
+def test_gauss_solve_pivot_free_matches_pivoted():
+    """Equilibrated pivot-free Gauss-Jordan (round-5) solves
+    well-conditioned systems to full precision."""
+    from deep_sfm_revisited_tpu.ops.linalg64 import gauss_solve
+
+    rng = np.random.RandomState(7)
+    A = jnp.asarray(rng.randn(32, 10, 10))
+    B = jnp.asarray(rng.randn(32, 10, 4))
+    X0 = np.asarray(gauss_solve(A, B))
+    X1 = np.asarray(gauss_solve(A, B, pivot=False))
+    resid = np.abs(np.einsum("bij,bjm->bim", np.asarray(A), X1)
+                   - np.asarray(B)).max()
+    assert resid < 1e-7, resid
+    assert np.abs(X0 - X1).max() < 1e-6

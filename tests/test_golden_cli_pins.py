@@ -14,12 +14,15 @@ Pinned values generated 2026-08-21 (CPU backend, this environment);
 tolerance 1e-3 absorbs run-to-run float noise only.
 ≙ the reference eval workflow `main.py:460-631` and the RECORD_POSE
 branch `main.py:504-530`.
+
+Round-5: promoted OUT of the heavy marker into the default suite
+(~3.5 min for both on this 2-core box) — this is the decisive
+end-to-end evidence and must not rot behind `-m heavy`.
 """
 
 import os
 
 import numpy as np
-import pytest
 
 TINY = [
     "--override",
@@ -32,31 +35,37 @@ TINY = [
     "train.image_freq=0",
 ]
 
+# Regenerated 2026-08-21 (round 5) after the RANSAC fast candidate
+# pipeline landed (pivot-free equilibrated GJ + short root schedule,
+# ops/essential.py five_point_candidates(fast=True)) — the RANSAC
+# winner on the untrained-net golden trees shifted, moving the online
+# pose and hence the plane-sweep metrics slightly (abs_rel 0.5241 ->
+# 0.5237 etc.). Regeneration script: the TINY config below through
+# cli.main under the tests/conftest.py environment.
 VALIDATE_PINS = {
-    "a1": 0.231559, "a2": 0.414099, "a3": 0.610878,
-    "abs_rel": 0.524073, "l1_inv": 0.094861, "rmse": 5.867589,
-    "rmse_log": 0.703479, "sc_inv": 0.676143, "sq_rel": 2.960437,
+    "a1": 0.23296, "a2": 0.414099, "a3": 0.60761,
+    "abs_rel": 0.523692, "l1_inv": 0.094539, "rmse": 5.873744,
+    "rmse_log": 0.703526, "sc_inv": 0.676106, "sq_rel": 2.967105,
     # the untrained flow net yields no confident candidates -> the
     # uniform-grid fallback fires on every frame (observable, pinned)
     "num_matches": 0.0, "uniform_fallback": 1.0,
 }
 
 POSE_PINS = {
-    "rot_err": 0.010049, "rot_err_fw": 0.009981,
-    "trans_angle": 1.841277, "trans_angle_fw": 1.9505,
-    "trans_dist": 1.517717, "trans_dist_fw": 1.631805,
+    "rot_err": 0.009954, "rot_err_fw": 0.010002,
+    "trans_angle": 1.283088, "trans_angle_fw": 1.845688,
+    "trans_dist": 1.149246, "trans_dist_fw": 1.573681,
     "num_matches": 0.0, "uniform_fallback": 1.0,
 }
 
 # NOTE: pins were generated under the tests/conftest.py environment
 # (8-device virtual CPU, x64) — XLA:CPU device-count changes reduction
 # partitioning enough to move the depth metrics by ~0.03.
-ODO_PINS = {"ate_rmse": 0.291446, "rpe_trans": 1.231224}
+ODO_PINS = {"ate_rmse": 0.223022, "rpe_trans": 0.953828}
 
 TOL = 1e-3
 
 
-@pytest.mark.heavy
 def test_golden_cli_validate_pins(tmp_path):
     from deep_sfm_revisited_tpu.cli import main
     from deep_sfm_revisited_tpu.data.synthetic import write_kitti_raw_tree
@@ -74,7 +83,6 @@ def test_golden_cli_validate_pins(tmp_path):
     assert os.path.exists(tmp_path / "out" / "default" / "config.yaml")
 
 
-@pytest.mark.heavy
 def test_golden_cli_record_pose_pins(tmp_path):
     from deep_sfm_revisited_tpu.cli import main
     from deep_sfm_revisited_tpu.data.synthetic import write_kitti_vo_tree

@@ -226,3 +226,74 @@ def test_sfmnet_differentiable_pose_gradient_reaches_flow():
         for x in jax.tree_util.tree_leaves(grads["flow_net"])
     )
     assert np.isfinite(g_flow) and g_flow > 0
+
+
+def test_trunc_soft_disparity_regression():
+    """TRUNC_SOFT windowed soft-argmax (ref lib/config.py:77,
+    submodule.py:66-80 — implemented as the evident masked-softmax
+    intent; the literal reference form yields -inf off-center, see the
+    soft_argmax_disparity docstring). Checked against a numpy oracle."""
+    from deep_sfm_revisited_tpu.models.submodules import (
+        soft_argmax_disparity,
+    )
+
+    rng = np.random.RandomState(3)
+    D, B, H, W = 8, 2, 4, 5
+    logits = rng.randn(B, D, H, W).astype(np.float32) * 2.0
+    prob = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    got = np.asarray(
+        soft_argmax_disparity(jnp.asarray(prob), D, trunc_soft=True)
+    )
+
+    # oracle: renormalized expectation over labels within +-D//2 of argmax
+    wsize = D // 2
+    labels = np.arange(1, D + 1, dtype=np.float64)
+    want = np.zeros((B, H, W))
+    for b in range(B):
+        for y in range(H):
+            for x in range(W):
+                p = prob[b, :, y, x].astype(np.float64)
+                a = int(p.argmax())
+                m = (np.abs(np.arange(D) - a) <= wsize)
+                pw = p * m
+                want[b, y, x] = (pw * labels).sum() / pw.sum()
+    assert np.abs(got - want).max() < 1e-4
+
+    # a distribution entirely inside the window reduces to the plain form
+    peaked = np.zeros((1, D, 1, 1), np.float32)
+    peaked[0, D // 2 - 1 : D // 2 + 2, 0, 0] = [0.25, 0.5, 0.25]
+    plain = np.asarray(soft_argmax_disparity(jnp.asarray(peaked), D))
+    trunc = np.asarray(
+        soft_argmax_disparity(jnp.asarray(peaked), D, trunc_soft=True)
+    )
+    assert np.abs(plain - trunc).max() < 1e-6
+
+
+def test_psnet_trunc_soft_knob_wires_through():
+    """cfg.depth.trunc_soft reaches the regression (different, finite
+    depth vs the default path)."""
+    import dataclasses
+
+    from deep_sfm_revisited_tpu.config import DepthConfig
+    from deep_sfm_revisited_tpu.models.psnet import PSNet
+
+    cfg0 = dataclasses.replace(DepthConfig(), nlabel=8, remat=False)
+    cfg1 = dataclasses.replace(cfg0, trunc_soft=True)
+    B, H, W = 1, 32, 32
+    key = jax.random.PRNGKey(0)
+    ref = jax.random.uniform(key, (B, H, W, 3))
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (B, 1, H, W, 3))
+    pose = jnp.concatenate(
+        [jnp.eye(3), jnp.array([[0.5], [0.0], [0.0]])], 1
+    )[None, None].astype(jnp.float32)
+    K = jnp.array([[[20.0, 0, 16], [0, 20.0, 16], [0, 0, 1]]])
+    Ki = jnp.linalg.inv(K)
+    outs = []
+    for c in (cfg0, cfg1):
+        net = PSNet(c, norm_target=0.0)
+        variables = net.init(key, ref, tgt, pose, K, Ki, False)
+        outs.append(np.asarray(
+            net.apply(variables, ref, tgt, pose, K, Ki, False)[1]
+        ))
+    assert np.all(np.isfinite(outs[0])) and np.all(np.isfinite(outs[1]))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-7

@@ -888,3 +888,53 @@ def test_psnet_end_to_end_matches_reference():
         assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()
         ia, ib = 1.0 / np.maximum(a, 1e-9), 1.0 / np.maximum(b, 1e-9)
         assert np.abs(ia - ib).max() < 1e-5, np.abs(ia - ib).max()
+
+
+def test_truncated_flow_regression_matches_reference():
+    """Round-5 config-tail audit: the TRUNCATED/TRUNCATED_SIZE windowed
+    soft-argmax (lib/config.py:298-299, DICL_shallow.py:277-316) vs the
+    reference's own torch FlowRegression with cfg.TRUNCATED=True.
+
+    The reference flattens its (U, V) displacement plane u-outer while
+    we stack dv-outer/du-inner, so the cost volume is transposed between
+    the two layouts before comparison.
+    """
+    if not reference_available():
+        pytest.skip("reference checkout absent")
+    refcfg = load_reference()
+    import torch
+
+    md, t, B, H, W = 3, 2, 2, 8, 9
+    S = 2 * md + 1
+    old_trunc, old_size = refcfg.TRUNCATED, refcfg.TRUNCATED_SIZE
+    # the reference module holds the SAME global cfg object, so setting
+    # the attrs here is visible to FlowRegression's __init__/forward
+    refcfg.TRUNCATED, refcfg.TRUNCATED_SIZE = True, t
+    try:
+        from models.DICL_shallow import FlowRegression
+
+        reg = FlowRegression(md, md).eval()
+        rng = np.random.RandomState(0)
+        # well-separated costs so the argmax (hence the window) is stable
+        cost = rng.randn(B, S, S, H, W).astype(np.float32) * 3.0
+        # reference layout: (B, 1, U, V, H, W), u = horizontal
+        t_in = torch.from_numpy(cost[:, None]).contiguous()
+        with torch.no_grad():
+            t_flow = reg(t_in).numpy()  # (B, 2, H, W) = (flowU, flowV)
+    finally:
+        refcfg.TRUNCATED, refcfg.TRUNCATED_SIZE = old_trunc, old_size
+
+    from deep_sfm_revisited_tpu.models.dicl import flow_regression
+
+    # ours: dv-outer/du-inner -> transpose the (u, v) plane of the
+    # reference layout to (dv, du) before flattening
+    j_cost = jnp.asarray(
+        cost.transpose(0, 2, 1, 3, 4).reshape(B, S * S, H, W)
+    )
+    j_flow = np.asarray(flow_regression(j_cost, md, truncated_size=t))
+    # (B, H, W, 2) [fu, fv] vs (B, 2, H, W) [U, V]
+    assert np.abs(j_flow[..., 0] - t_flow[:, 0]).max() < 1e-5
+    assert np.abs(j_flow[..., 1] - t_flow[:, 1]).max() < 1e-5
+    # sanity: the window actually bites (differs from the untruncated form)
+    j_plain = np.asarray(flow_regression(j_cost, md))
+    assert np.abs(j_plain - j_flow).max() > 1e-3
