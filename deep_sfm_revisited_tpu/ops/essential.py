@@ -540,6 +540,8 @@ def polish_essential(
     huber_delta: float = 1e-3,
     damping: float = 1e-8,
     coarse_dtype=None,
+    loss: str = "huber",
+    barron_alpha: float = -2.0,
 ) -> jnp.ndarray:
     """Robust local refinement of a single E on its 5-dof manifold.
 
@@ -555,6 +557,15 @@ def polish_essential(
     step in the input dtype — GN converges quadratically, so a final
     full-precision step from an f32-accurate iterate recovers full
     accuracy (validated on synthetic scenes, scratch/f32_solve_study.py).
+
+    `loss="barron"` selects the Barron general-robust IRLS family the
+    reference ships alongside Huber
+    (`polish_E_robust_parametric_barron`, polish_E.cu:1070-1169,1594):
+    weight w(r) = (r^2/(delta^2 b) + 1)^(d/2 - 1) / delta^2 with
+    b = |2 - alpha| + eps, d = alpha +- eps. Note the reference's
+    pybind API never exposes this path (`optimise` hard-wires the Huber
+    variant, essential_matrix.cu:96); it is provided here for parity of
+    capability, alpha = -2 (Geman-McClure-like) by default.
     """
     if coarse_dtype is not None and coarse_dtype != E0.dtype and iters > 1:
         Ec = polish_essential(
@@ -562,10 +573,12 @@ def polish_essential(
             x2.astype(coarse_dtype),
             None if weights is None else weights.astype(coarse_dtype),
             iters=iters - 1, huber_delta=huber_delta, damping=damping,
+            loss=loss, barron_alpha=barron_alpha,
         )
         return polish_essential(
             Ec.astype(E0.dtype), x1, x2, weights, iters=1,
             huber_delta=huber_delta, damping=damping,
+            loss=loss, barron_alpha=barron_alpha,
         )
     dtype = E0.dtype
     ones = jnp.ones_like(x1[..., :1])
@@ -582,12 +595,39 @@ def polish_essential(
         Vv = V @ exp_so3(theta[3:])
         return Uu @ D @ Vv.T
 
+    if loss == "barron":
+        # constants of the reference's Barron IRLS weight
+        # (polish_E.cu:1072-1075)
+        b_const = abs(2.0 - barron_alpha) + 1e-5
+        d_const = barron_alpha + (1e-5 if barron_alpha >= 0 else -1e-5)
+        delta2 = huber_delta * huber_delta
+
+    def irls_weights(r0):
+        absr = jnp.abs(r0)
+        if loss == "barron":
+            # w = (r^2/(delta^2 b) + 1)^(d/2-1) / delta^2
+            # (polish_E.cu:1110; the 1/delta^2 scale cancels in the GN
+            # direction but is kept for fidelity)
+            return weights * (
+                (r0 * r0 / (delta2 * b_const) + 1.0)
+                ** (0.5 * d_const - 1.0) / delta2)
+        return weights * jnp.where(
+            absr <= huber_delta, 1.0,
+            huber_delta / jnp.maximum(absr, 1e-30))
+
+    def robust_cost(r):
+        if loss == "barron":
+            # rho(r) = b/d ((r^2/(delta^2 b) + 1)^(d/2) - 1)
+            return (b_const / d_const) * (
+                (r * r / (delta2 * b_const) + 1.0) ** (0.5 * d_const)
+                - 1.0)
+        return _huber(r, huber_delta)
+
     def step(carry, _):
         U, V = carry
         r0 = _signed_sampson(U @ D @ V.T, q1, q2)
-        # Huber IRLS weights at the current residuals
-        absr = jnp.abs(r0)
-        w = weights * jnp.where(absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-30))
+        # IRLS weights at the current residuals (Huber or Barron)
+        w = irls_weights(r0)
 
         def resid(theta):
             return _signed_sampson(e_of(theta, U, V), q1, q2)
@@ -605,10 +645,17 @@ def polish_essential(
         # elimination). Roundoff pathologies yield NaN and are rejected
         # by the step-acceptance test below.
         delta = -gauss_solve(H, g[:, None], pivot=False)[:, 0]
-        # accept only improving steps (cheap trust region)
+        # accept only improving steps (cheap trust region). The Huber
+        # path keeps its original IRLS-weighted acceptance cost
+        # bit-for-bit (golden pins depend on it); Barron uses its true
+        # rho.
         r1 = resid(delta)
-        c0 = jnp.sum(w * _huber(r0, huber_delta))
-        c1 = jnp.sum(w * _huber(r1, huber_delta))
+        if loss == "barron":
+            c0 = jnp.sum(weights * robust_cost(r0))
+            c1 = jnp.sum(weights * robust_cost(r1))
+        else:
+            c0 = jnp.sum(w * _huber(r0, huber_delta))
+            c1 = jnp.sum(w * _huber(r1, huber_delta))
         good = c1 < c0
         delta = jnp.where(good, delta, jnp.zeros_like(delta))
         return (U @ exp_so3(delta[:3]), V @ exp_so3(delta[3:])), None

@@ -149,14 +149,22 @@ def sample_correspondences(
     else:
         k_grid = k_gumbel = None
 
+    # selection-class math (grid, confidence gather, Gumbel scores,
+    # top_k) runs in f32 even when the caller passes f64 flow: emulated
+    # f64 is ~10x per op on TPU and the f64 top_k sorts 4096 float-pair
+    # scores — but only the SELECTION comes from these values; the flow
+    # values fed to the solver are gathered from the original array in
+    # its own dtype below (round-5; identical selection up to score
+    # ties, which the Gumbel draw already randomizes)
+    sdtype = jnp.float32 if flow.dtype == jnp.float64 else flow.dtype
     n_cand = num_points * (oversample if conf is not None else 1)
-    pts = _candidate_grid(b, h, w, margin, n_cand, flow.dtype, k_grid)
+    pts = _candidate_grid(b, h, w, margin, n_cand, sdtype, k_grid)
     pts_i = jnp.round(pts).astype(jnp.int32)
     idx = pts_i[..., 1] * w + pts_i[..., 0]
 
     num_good = None
     if conf is not None:
-        ent = conf.reshape(b, h * w).astype(flow.dtype)
+        ent = conf.reshape(b, h * w).astype(sdtype)
         e = jnp.take_along_axis(ent, idx, axis=1)  # (B, n_cand)
         wgt = jnp.clip(1.0 - e, 0.0, 1.0)
         good = e < good_entropy
@@ -165,7 +173,7 @@ def sample_correspondences(
         score = jnp.where(use_conf, jnp.log(wgt + 1e-6), 0.0)
         if k_gumbel is not None:
             u = jax.random.uniform(
-                k_gumbel, score.shape, flow.dtype, 1e-12, 1.0
+                k_gumbel, score.shape, sdtype, 1e-12, 1.0
             )
             score = score - jnp.log(-jnp.log(u))
         _, top = jax.lax.top_k(score, num_points)  # (B, num_points)

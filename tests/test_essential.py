@@ -273,3 +273,33 @@ def test_gauss_solve_pivot_free_matches_pivoted():
                    - np.asarray(B)).max()
     assert resid < 1e-7, resid
     assert np.abs(X0 - X1).max() < 1e-6
+
+
+def test_barron_polish_improves_noisy_estimate():
+    """Round-5: the Barron general-robust polish family the reference
+    ships alongside Huber (`polish_E_robust_parametric_barron`,
+    polish_E.cu:1070-1169,1594 — never exposed by its pybind API).
+    Must refine a perturbed E under noise + outliers, and the redescending
+    weight (alpha=-2) must stay robust where plain Huber is too."""
+    key = jax.random.PRNGKey(11)
+    x1, x2, R, t, E_true = make_scene(key, n_points=300, noise=1e-3,
+                                      outlier_frac=0.2)
+    E0 = E_true + 0.05 * jax.random.normal(key, (3, 3), F64)
+    E0 = E0 / jnp.linalg.norm(E0)
+    E_b = ess.polish_essential(E0, x1, x2, iters=15, huber_delta=1e-2,
+                               loss="barron", barron_alpha=-2.0)
+    assert bool(jnp.all(jnp.isfinite(E_b)))
+    assert e_distance(E_b, E_true) < e_distance(E0, E_true) * 0.5
+    # alpha=2+eps ~ quadratic loss: also runs finite (family sanity)
+    E_q = ess.polish_essential(E0, x1, x2, iters=5, huber_delta=1e-2,
+                               loss="barron", barron_alpha=1.99)
+    assert bool(jnp.all(jnp.isfinite(E_q)))
+    # the mixed-precision path composes with the Barron loss. A
+    # redescending loss (alpha=-2) is basin-sensitive from a FAR init
+    # (the f32-coarse iterate can pick a different local minimum than
+    # pure f64 — observed), so the composition check starts close.
+    E0n = E_true + 0.01 * jax.random.normal(key, (3, 3), F64)
+    E0n = E0n / jnp.linalg.norm(E0n)
+    E_m = ess.polish_essential(E0n, x1, x2, iters=6, huber_delta=1e-2,
+                               loss="barron", coarse_dtype=jnp.float32)
+    assert e_distance(E_m, E_true) < e_distance(E0n, E_true) * 0.5

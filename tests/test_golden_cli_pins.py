@@ -35,33 +35,34 @@ TINY = [
     "train.image_freq=0",
 ]
 
-# Regenerated 2026-08-21 (round 5) after the RANSAC fast candidate
-# pipeline landed (pivot-free equilibrated GJ + short root schedule,
-# ops/essential.py five_point_candidates(fast=True)) — the RANSAC
-# winner on the untrained-net golden trees shifted, moving the online
-# pose and hence the plane-sweep metrics slightly (abs_rel 0.5241 ->
-# 0.5237 etc.). Regeneration script: the TINY config below through
-# cli.main under the tests/conftest.py environment.
+# Regenerated 2026-08-22 (round 5) after two numeric changes to the
+# pose path: the RANSAC fast candidate pipeline (pivot-free
+# equilibrated GJ + short root schedule, five_point_candidates(
+# fast=True)) and f32 selection math in sample_correspondences (the
+# Gumbel draws changed dtype, so DIFFERENT correspondence subsets are
+# selected on the untrained-net golden trees — the online pose and
+# hence the plane-sweep metrics move). Regeneration: the TINY config
+# below through cli.main under the tests/conftest.py environment.
 VALIDATE_PINS = {
-    "a1": 0.23296, "a2": 0.414099, "a3": 0.60761,
-    "abs_rel": 0.523692, "l1_inv": 0.094539, "rmse": 5.873744,
-    "rmse_log": 0.703526, "sc_inv": 0.676106, "sq_rel": 2.967105,
+    "a1": 0.186041, "a2": 0.361578, "a3": 0.537815,
+    "abs_rel": 0.568168, "l1_inv": 0.10186, "rmse": 6.038606,
+    "rmse_log": 0.727108, "sc_inv": 0.705098, "sq_rel": 3.175457,
     # the untrained flow net yields no confident candidates -> the
     # uniform-grid fallback fires on every frame (observable, pinned)
     "num_matches": 0.0, "uniform_fallback": 1.0,
 }
 
 POSE_PINS = {
-    "rot_err": 0.009954, "rot_err_fw": 0.010002,
-    "trans_angle": 1.283088, "trans_angle_fw": 1.845688,
-    "trans_dist": 1.149246, "trans_dist_fw": 1.573681,
+    "rot_err": 0.010002, "rot_err_fw": 0.010001,
+    "trans_angle": 1.401461, "trans_angle_fw": 1.434098,
+    "trans_dist": 1.220382, "trans_dist_fw": 1.306487,
     "num_matches": 0.0, "uniform_fallback": 1.0,
 }
 
 # NOTE: pins were generated under the tests/conftest.py environment
 # (8-device virtual CPU, x64) — XLA:CPU device-count changes reduction
 # partitioning enough to move the depth metrics by ~0.03.
-ODO_PINS = {"ate_rmse": 0.223022, "rpe_trans": 0.953828}
+ODO_PINS = {"ate_rmse": 0.514375, "rpe_trans": 1.057932}
 
 TOL = 1e-3
 

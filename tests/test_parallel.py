@@ -188,3 +188,23 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.heavy
+def test_collective_traffic_accounting():
+    """Round-5: the HLO collective extractor must see the expected
+    sharding structure on the virtual mesh — a gradient all-reduce on
+    the `data` axis and cost-volume halo collectives on the `model`
+    axis. A silent loss of either sharding (e.g. a dropped
+    with_sharding_constraint) zeroes its bucket and fails here."""
+    import __graft_entry__ as g
+
+    out = g.collective_traffic(8, full_shapes=False)
+    assert out["mesh"] == {"data": 4, "model": 2}
+    # gradient psum over data: tens of MB (depth-net grads, f32)
+    ar = out["data"].get("all-reduce", 0)
+    assert ar > 5e6, out["data"]
+    # model-axis activation collectives exist (D-shard halos)
+    model_bytes = sum(out["model"].values())
+    assert model_bytes > 1e6, out["model"]
+    assert out["param_bytes"] > 3e7

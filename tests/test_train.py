@@ -319,11 +319,23 @@ def test_pose_rot_weight_config_reaches_loss():
     assert pl20 > pl0 >= 0.0
 
 
-def test_chained_train_step_matches_sequential_singles():
+@pytest.mark.parametrize("pose_source", ["gt", "ransac"])
+def test_chained_train_step_matches_sequential_singles(pose_source):
     """ChainedStep (K fused steps + on-device metric sums) must be
     step-for-step identical to K sequential single steps with the same
     key schedule — the chained production loop changes WHERE the loop
-    runs, not the math."""
+    runs, not the math.
+
+    Two variants (round 5): with GT pose the whole step is continuous
+    math and equality is tight. With ONLINE RANSAC pose, the inlier-
+    count argmax is DISCRETE — last-ulp cross-program rounding (scan
+    body vs standalone compilation) can flip the winner on a near-tie
+    vote (this toy scene's rolled-image pair is maximally tie-prone),
+    after which the depth net sees a genuinely different (but bounded)
+    pose. That is a property of argmax + cross-program float rounding,
+    not of the chain: the criterion there is every diff bounded by ~2
+    optimizer steps, the flow net bitwise-tight, and the metric sums
+    matching."""
     from deep_sfm_revisited_tpu.train.trainer import (
         ChainedStep,
         create_train_state,
@@ -335,7 +347,8 @@ def test_chained_train_step_matches_sequential_singles():
     # scan-vs-standalone compile-order rounding into ±lr param flips —
     # that noise is a property of bf16 + Adam, not of the chain
     cfg = g._tiny_cfg(nlabel=8, hyps=8, iters=2, ncorr=64, flow="RAFT")
-    cfg = cfg.override(**{"train.mixed_prec": False})
+    cfg = cfg.override(**{"train.mixed_prec": False},
+                       use_gt_pose=(pose_source == "gt"))
     model, state = create_train_state(
         cfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 96),
         steps_per_epoch=10,
@@ -375,18 +388,32 @@ def test_chained_train_step_matches_sequential_singles():
     # params bitwise-tight — a LOGIC divergence (wrong key schedule,
     # wrong batch slicing, dropped step) violates both immediately.
     lr = cfg.train.lr
-    n_bad = n_tot = 0
-    for a, b_ in zip(jax.tree_util.tree_leaves(state_c.params),
-                     jax.tree_util.tree_leaves(s.params)):
+    per_mod = {}
+    for (kp, a), (_, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(state_c.params),
+            jax.tree_util.tree_leaves_with_path(s.params)):
         a = np.asarray(a, np.float32)
         b_ = np.asarray(b_, np.float32)
         d = np.abs(a - b_)
         assert d.max() <= 2.2 * lr
-        n_bad += int(np.sum(d > 1e-5 + 1e-4 * np.abs(b_)))
-        n_tot += d.size
-    assert n_bad / n_tot < 0.01, (n_bad, n_tot)
+        mod = str(kp[0])
+        bad, tot = per_mod.get(mod, (0, 0))
+        per_mod[mod] = (bad + int(np.sum(d > 1e-5 + 1e-4 * np.abs(b_))),
+                        tot + d.size)
+    n_bad = sum(b for b, _ in per_mod.values())
+    n_tot = sum(t for _, t in per_mod.values())
+    if pose_source == "gt":
+        assert n_bad / n_tot < 0.01, per_mod
+    else:
+        # discrete pose-argmax variant: a near-tie winner flip between
+        # the two compiled programs makes the depth net see a different
+        # bounded pose; the flow net (upstream of the stop-gradiented
+        # pose) must stay essentially bitwise-equal either way
+        fb, ft = per_mod.get("['flow_net']", (0, 1))
+        assert fb / ft < 0.001, per_mod
     np.testing.assert_allclose(np.asarray(acc), np.sum(vecs, axis=0),
-                               rtol=1e-3, atol=1e-5)
+                               rtol=2e-2 if pose_source == "ransac"
+                               else 1e-3, atol=1e-5)
 
 
 def test_chained_train_exposes_per_step_loss_spikes(tmp_path):
