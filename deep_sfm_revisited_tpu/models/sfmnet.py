@@ -36,7 +36,10 @@ from deep_sfm_revisited_tpu.ops.essential import (
     ransac_pose,
     refine_essential_implicit,
 )
-from deep_sfm_revisited_tpu.ops.flow_ops import sample_correspondences
+from deep_sfm_revisited_tpu.ops.flow_ops import (
+    sample_correspondences,
+    texture_pseudo_entropy,
+)
 
 Dtype = Any
 
@@ -173,15 +176,13 @@ class SFMNet(nn.Module):
                 # (≙ the reference's SIFT keypoint masks,
                 # SFMnet.py:203-254), or the uniform grid
                 if cfg.pose.sampler == "texture":
-                    from deep_sfm_revisited_tpu.ops.flow_ops import (
-                        texture_pseudo_entropy,
-                    )
-
                     conf_s = texture_pseudo_entropy(ref)
                 elif cfg.pose.sampler == "uniform":
                     conf_s = None
-                else:
+                elif cfg.pose.sampler == "entropy":
                     conf_s = conf
+                else:
+                    raise NotImplementedError(cfg.pose.sampler)
                 pose, inliers, num_matches = self._pose_by_ransac(
                     flow, K_inv, key, conf=conf_s
                 )

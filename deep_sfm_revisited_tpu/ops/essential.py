@@ -642,8 +642,9 @@ def polish_essential(
         # re-ablation: pivot-free GJ 0.115 ms vs 0.833 pivoted at the
         # 512x5 protocol; an unrolled Cholesky was SLOWER, 3.2 ms — its
         # n^2 scalar updates serialize worse than vectorized
-        # elimination). Roundoff pathologies yield NaN and are rejected
-        # by the step-acceptance test below.
+        # elimination). An ill-conditioned H yields a large or garbage
+        # step, which the acceptance test below rejects (it never
+        # worsens the robust cost).
         delta = -gauss_solve(H, g[:, None], pivot=False)[:, 0]
         # accept only improving steps (cheap trust region). The Huber
         # path keeps its original IRLS-weighted acceptance cost

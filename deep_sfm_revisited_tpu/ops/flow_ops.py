@@ -83,8 +83,6 @@ def texture_pseudo_entropy(image: jnp.ndarray,
     risk of replacing the reference's keypointed pose path with a
     learned confidence.
     """
-    from jax import lax
-
     gray = jnp.mean(image.astype(jnp.float32), axis=-1, keepdims=True)
     # central differences, replicate-padded
     gp = jnp.pad(gray, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
@@ -94,7 +92,7 @@ def texture_pseudo_entropy(image: jnp.ndarray,
     k = jnp.ones((window, window, 1, 1), jnp.float32) / (window * window)
 
     def box(x):
-        return lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             x, k, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 

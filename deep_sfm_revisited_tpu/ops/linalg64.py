@@ -24,7 +24,12 @@ def gauss_solve(A: jnp.ndarray, B: jnp.ndarray,
     """Solve A X = B by Gauss-Jordan.
 
     A (..., n, n), B (..., n, m), static n/m; returns (..., n, m).
-    Singular systems yield inf/nan (callers mask degenerate candidates).
+    Exactly-singular systems return finite garbage, NOT inf/nan (the
+    zero pivot is substituted with 1 to keep the batch finite) — do not
+    rely on non-finiteness to detect degeneracy. The RANSAC callers are
+    safe either way: a garbage candidate simply loses the Sampson vote,
+    and near-singular systems (the realistic case) still blow up to
+    values the downstream validity masks reject.
 
     `pivot=True`: partial pivoting (the default — numerically safe).
     `pivot=False`: one up-front row equilibration (divide each row by
