@@ -134,6 +134,19 @@ class PoseConfig:
     # of the reference's keypointed path), "uniform" = the reference's
     # dense-grid fallback as the primary
     sampler: str = "entropy"
+    # two-stage Sampson scoring, the batched analogue of the reference's
+    # per-worker pre-filter (score on c_num_test_points, full rescore only
+    # when promising, kernel_functions.cu:187-214): stage 1 scores all
+    # candidates on `score_subset` strided points, stage 2 rescores the
+    # `score_topk` best on all points. The full (C, N) Sampson sweep is
+    # HBM-bandwidth-bound, so this is ~1.5 ms/pair at the product protocol
+    # (5.95 -> 4.42 ms ransac_pose, scratch/ransac_two_stage_probe.py)
+    # with the IDENTICAL winner on every scene of the 16-seed study
+    # (scratch/ransac_two_stage_accuracy.py). Self-disables to the exact
+    # single-stage path whenever the budget is small (topk >= candidates
+    # or subset >= points). 0 disables explicitly.
+    score_subset: int = 128
+    score_topk: int = 512
     polish_iters: int = 10             # IRLS robust polish rounds (polish_E.cu:1470)
     polish_huber_delta: float = 1e-3   # ref SFMnet delta=0.001 (models/SFMnet.py:36)
     use_polish: bool = True

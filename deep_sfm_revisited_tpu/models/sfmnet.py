@@ -279,6 +279,8 @@ class SFMNet(nn.Module):
             hyp_sharding=self.hyp_sharding,
             point_sharding=self.point_sharding,
             solve_dtype=jnp.dtype(cfg.solve_dtype),
+            score_subset=cfg.score_subset,
+            score_topk=cfg.score_topk,
         )
         if cfg.differentiable:
             w = jax.lax.stop_gradient(

@@ -689,6 +689,8 @@ def ransac_pose(
     hyp_sharding=None,
     point_sharding=None,
     solve_dtype=None,
+    score_subset: int = 0,
+    score_topk: int = 0,
 ):
     """Batched five-point RANSAC.
 
@@ -751,16 +753,39 @@ def ransac_pose(
     Ef = E.reshape(B, C, 3, 3)
     validf = valid.reshape(B, C)
 
-    # score all candidates against all points in one batched einsum:
-    # E batch dims (B, C) x point batch dims (B, 1) -> err (B, C, N).
     # Scoring runs in f32: TPU f64 is software-emulated and this is the
     # largest tensor op in RANSAC; Sampson distances (~1e-6..1e-1) and the
     # 1e-4 threshold are far inside f32 precision. The solve, polish and
     # decomposition stay f64.
+    x1_32 = x1.astype(jnp.float32)
+    x2_32 = x2.astype(jnp.float32)
+    if 0 < score_subset < N and 0 < score_topk < C:
+        # two-stage scoring, the TPU form of the reference's pre-filter
+        # (each CUDA worker scores a candidate on c_num_test_points and
+        # only promising ones on the full c_ransac_num_test_points,
+        # kernel_functions.cu:187-214): stage 1 scores every candidate on
+        # a strided point subset — the full (C, N) Sampson sweep is HBM-
+        # bandwidth-bound, so M/N of the points is ~M/N of the time —
+        # stage 2 rescores only the top-K subset survivors on all points.
+        sub = jnp.round(
+            jnp.linspace(0.0, N - 1.0, score_subset)
+        ).astype(jnp.int32)
+        err_sub = sampson_error(
+            Ef.astype(jnp.float32),
+            x1_32[:, None, sub],
+            x2_32[:, None, sub],
+        )
+        counts_sub = jnp.where(
+            validf, jnp.sum(err_sub < threshold, axis=-1), -1
+        )
+        _, topk = jax.lax.top_k(counts_sub, score_topk)  # (B, K)
+        Ef = jnp.take_along_axis(Ef, topk[:, :, None, None], axis=1)
+        validf = jnp.take_along_axis(validf, topk, axis=1)
+
+    # score the (surviving) candidates against all points in one batched
+    # einsum: E batch dims (B, C) x point batch dims (B, 1) -> (B, C, N)
     err = sampson_error(
-        Ef.astype(jnp.float32),
-        x1[:, None].astype(jnp.float32),
-        x2[:, None].astype(jnp.float32),
+        Ef.astype(jnp.float32), x1_32[:, None], x2_32[:, None]
     )
     inl = err < threshold
     counts = jnp.where(validf, jnp.sum(inl, axis=-1), -1)  # (B, C)

@@ -303,3 +303,31 @@ def test_barron_polish_improves_noisy_estimate():
     E_m = ess.polish_essential(E0n, x1, x2, iters=6, huber_delta=1e-2,
                                loss="barron", coarse_dtype=jnp.float32)
     assert e_distance(E_m, E_true) < e_distance(E0n, E_true) * 0.5
+
+
+def test_ransac_two_stage_scoring_matches_single_stage_accuracy():
+    """Two-stage Sampson scoring (≙ the reference's per-worker pre-filter,
+    kernel_functions.cu:187-214: score on c_num_test_points, rescore
+    promising candidates on the full set) must recover the same pose as
+    exact single-stage scoring on a noisy/outlier scene — the subset
+    ranking only has to keep the true winner inside the top-K."""
+    key = jax.random.PRNGKey(5)
+    x1, x2, R, t, E_true = make_scene(key, n_points=300, noise=5e-4,
+                                      outlier_frac=0.3)
+    kw = dict(num_hypotheses=256, ransac_iter=2, threshold=2e-3,
+              polish=True, solve_dtype=jnp.float32)
+    out2 = ess.ransac_pose(x1, x2, jax.random.PRNGKey(13),
+                           score_subset=64, score_topk=128, **kw)
+    r_err = float(rot.rotation_angular_error(out2["P"][:, :3], R))
+    t_dir = out2["P"][:, 3] / jnp.linalg.norm(out2["P"][:, 3])
+    t_err = float(jnp.arccos(jnp.clip(jnp.dot(t_dir, t), -1, 1)))
+    assert r_err < 0.01, f"rotation error {np.degrees(r_err)} deg"
+    assert t_err < 0.02, f"translation angle error {np.degrees(t_err)} deg"
+    assert int(out2["inliers"]) > 150
+    # degenerate parameter values (subset >= N, topk >= C, or 0) must
+    # take the exact single-stage path bit-for-bit
+    out_exact = ess.ransac_pose(x1, x2, jax.random.PRNGKey(13), **kw)
+    out_deg = ess.ransac_pose(x1, x2, jax.random.PRNGKey(13),
+                              score_subset=300, score_topk=10_000, **kw)
+    np.testing.assert_array_equal(np.asarray(out_exact["E"]),
+                                  np.asarray(out_deg["E"]))
